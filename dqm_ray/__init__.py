@@ -1,0 +1,16 @@
+"""dqm_ray — a Ray-Data-native quality-monitoring-and-filtering engine.
+
+Recasts the semantic contract of the DUNE-DAQ ``dqm`` reference
+(per-record validation → stateful scoring → stat aggregation →
+alerting/export; see SURVEY.md) as a streaming ``ray.data.Dataset``
+quality-filter pipeline over Parquet tables of source-code files
+``(repo, path, commit, lang, content)``.
+
+Nothing in this package calls ``ray.init()`` / ``ray.shutdown()`` —
+sessions are owned by the caller (driver, bench.py, test fixture).
+"""
+
+from dqm_ray.config import QualityConfig, ScrubConfig
+
+__all__ = ["QualityConfig", "ScrubConfig"]
+__version__ = "0.1.0"

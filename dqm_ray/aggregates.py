@@ -1,0 +1,105 @@
+"""Custom distributed aggregates — fill()/finalize() accumulator algebra
+re-expressed on Ray Data's ``AggregateFnV2`` (partial per-block
+aggregate → merge → finalize), exactly the reference's accumulate
+contract (SURVEY §2.4).
+
+Semantics mirrored from the reference:
+- RMS:  sqrt(Σx²/n); n == 0 → -1      (src/algs/RMS.cpp:21-42)
+- STD:  sample std, ddof=1; n <= 1 → -1   (src/algs/STD.cpp:21-48)
+- Hist: uniform bins on [lo, hi); under/overflow silently dropped
+        (include/dqm/algs/Hist.hpp:69-86)
+
+All block work is vectorized (pyarrow.compute / numpy); accumulators are
+tiny tuples/ndarrays, so the shuffle moves partials, not rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from ray.data.aggregate import AggregateFnV2
+
+
+def _column(block, col: str) -> np.ndarray:
+    """Extract a column as float64 ndarray from an Arrow or pandas block."""
+    import pyarrow as pa
+
+    if isinstance(block, pa.Table):
+        arr = block.column(col).to_numpy(zero_copy_only=False)
+    else:  # pandas
+        arr = block[col].to_numpy()
+    arr = np.asarray(arr, dtype=np.float64)
+    return arr[~np.isnan(arr)]
+
+
+class RMS(AggregateFnV2):
+    """Root-mean-square with the reference's n==0 → -1 sentinel."""
+
+    def __init__(self, on: str, alias_name: str | None = None):
+        super().__init__(alias_name or f"rms({on})",
+                         zero_factory=lambda: [0.0, 0],
+                         on=on, ignore_nulls=True)
+
+    def aggregate_block(self, block):
+        x = _column(block, self._target_col_name)
+        return [float(np.dot(x, x)), int(x.size)]
+
+    def combine(self, a, b):
+        return [a[0] + b[0], a[1] + b[1]]
+
+    def finalize(self, acc):
+        ssq, n = acc
+        return math.sqrt(ssq / n) if n > 0 else -1.0
+
+
+class StdSentinel(AggregateFnV2):
+    """Sample std (ddof=1) with the reference's n<=1 → -1 sentinel,
+    via the (Σx, Σx², n) algebra of src/algs/STD.cpp:21-48."""
+
+    def __init__(self, on: str, alias_name: str | None = None):
+        super().__init__(alias_name or f"std({on})",
+                         zero_factory=lambda: [0.0, 0.0, 0],
+                         on=on, ignore_nulls=True)
+
+    def aggregate_block(self, block):
+        x = _column(block, self._target_col_name)
+        return [float(x.sum()), float(np.dot(x, x)), int(x.size)]
+
+    def combine(self, a, b):
+        return [a[0] + b[0], a[1] + b[1], a[2] + b[2]]
+
+    def finalize(self, acc):
+        s, ssq, n = acc
+        if n <= 1:
+            return -1.0
+        mean = s / n
+        var = (ssq + n * mean * mean - 2 * mean * s) / (n - 1)
+        return math.sqrt(max(var, 0.0))
+
+
+class Hist(AggregateFnV2):
+    """Fixed uniform-bin histogram; under/overflow dropped. Finalizes to a
+    list<int64> of per-bin counts."""
+
+    def __init__(self, on: str, lo: float, hi: float, nbins: int,
+                 alias_name: str | None = None):
+        if not (hi > lo and nbins > 0):
+            raise ValueError("need hi > lo and nbins > 0")
+        self._lo, self._hi, self._nbins = float(lo), float(hi), int(nbins)
+        super().__init__(alias_name or f"hist({on})",
+                         zero_factory=lambda: [0] * nbins,
+                         on=on, ignore_nulls=True)
+
+    def aggregate_block(self, block):
+        x = _column(block, self._target_col_name)
+        width = (self._hi - self._lo) / self._nbins
+        idx = np.floor((x - self._lo) / width).astype(np.int64)
+        mask = (idx >= 0) & (idx < self._nbins)  # drop under/overflow
+        return np.bincount(idx[mask], minlength=self._nbins).tolist()
+
+    def combine(self, a, b):
+        return [x + y for x, y in zip(a, b)]
+
+    def finalize(self, acc):
+        return list(acc)

@@ -1,0 +1,255 @@
+"""Deterministic synthetic source-code corpus generator.
+
+The analog of the reference's ``scripts/filegen.py:11-94`` (synthetic
+frame files with analytically-known properties): every row is built by a
+named *pattern* whose expected keep/drop/scrub outcome is computable
+independently. Schema matches BASELINE.json ``input_hint`` exactly:
+``(repo:string, path:string, commit:string, lang:string, content:string)``.
+
+Generation is pure (seeded ``numpy.random.Generator``; no wall clock, no
+external data). ``generate_corpus(n_rows, seed)`` returns the input table
+plus a ``pattern`` tag column used only by tests/oracles — callers strip
+it before feeding the engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from dqm_ray.config import AUTOGEN_MARKERS
+
+# Pattern mix (weights sum to 1). `org0/repo0` is made hot (~30% of rows)
+# to exercise skew handling, per FIXTURES.md F1.
+PATTERNS: tuple[tuple[str, float], ...] = (
+    ("clean_code", 0.46),
+    ("long_line", 0.05),
+    ("dup_lines", 0.05),
+    ("low_alnum", 0.05),
+    ("autogen", 0.05),
+    ("wrong_lang", 0.05),
+    ("high_ppl", 0.05),
+    ("pii_email", 0.08),
+    ("pii_ip", 0.06),
+    ("pii_key", 0.06),
+    ("empty", 0.02),
+    ("huge", 0.02),
+)
+
+LANGS: tuple[str, ...] = ("python", "javascript", "c", "go", "markdown", "unknown")
+LANG_WEIGHTS = (0.30, 0.22, 0.18, 0.14, 0.10, 0.06)
+EXTS = {"python": "py", "javascript": "js", "c": "c", "go": "go",
+        "markdown": "md", "unknown": "txt"}
+
+# Small templated vocab per language; seeded token choice fills holes.
+_IDENT = ("data", "value", "result", "count", "index", "buffer", "config",
+          "handler", "record", "stream", "parser", "worker", "metric",
+          "offset", "payload", "queue", "token", "cursor", "window", "batch")
+
+_TEMPLATES = {
+    "python": (
+        "import os",
+        "import sys",
+        "def {a}_{b}(arg, limit=10):",
+        "    {a} = [x * 2 for x in range(limit)]",
+        "    return sum({a}) + len('{b}')",
+        "class {A}Handler:",
+        "    def process(self, {a}):",
+        "        self.{b} = {a} + 1",
+        "        return self.{b}",
+        "print({a}_{b}(3))",
+    ),
+    "javascript": (
+        "const {a} = require('./{b}');",
+        "function {a}{B}(x, y) {{",
+        "  let {b} = x + y * 2;",
+        "  return {b} > 0 ? {b} : -{b};",
+        "}}",
+        "const {b}List = [1, 2, 3].map(v => v * {n});",
+        "export default {a}{B};",
+    ),
+    "c": (
+        "#include <stdio.h>",
+        "#include <stdlib.h>",
+        "static int {a}_{b}(int x) {{",
+        "    int {a} = x * {n};",
+        "    return {a} + {n};",
+        "}}",
+        "struct {A} {{ int {a}; double {b}; }};",
+        "int main(void) {{ printf(\"%d\\n\", {a}_{b}({n})); return 0; }}",
+    ),
+    "go": (
+        "package main",
+        "import (",
+        "    \"fmt\"",
+        ")",
+        "func {A}{B}(x int) int {{",
+        "    {a} := x * {n}",
+        "    return {a} + {n}",
+        "}}",
+        "func main() {{ fmt.Println({A}{B}({n})) }}",
+    ),
+    "markdown": (
+        "# {A} {B}",
+        "## Overview of {a}",
+        "The {a} module handles {b} records and exposes a {a} API.",
+        "* item {n}: {a} and {b}",
+        "```",
+        "{a} --limit {n}",
+        "```",
+        "See [docs]({b}.md) for details on {a} usage.",
+    ),
+    "unknown": (
+        "{a}: {b} = {n}",
+        "{b} -> {a} ({n})",
+        "record {n} {a} {b}",
+    ),
+}
+
+_LOREM = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+          "eiusmod tempor incididunt ut labore et dolore magna aliqua ut enim "
+          "ad minim veniam quis nostrud exercitation ullamco laboris").split()
+
+
+def _fill(line: str, rng: np.random.Generator) -> str:
+    a, b = rng.choice(len(_IDENT), size=2, replace=False)
+    a, b = _IDENT[a], _IDENT[b]
+    return line.format(a=a, b=b, A=a.capitalize(), B=b.capitalize(),
+                       n=int(rng.integers(2, 100)))
+
+
+def clean_code(lang: str, rng: np.random.Generator, n_lines: int | None = None) -> str:
+    tmpl = _TEMPLATES[lang]
+    n = int(n_lines if n_lines is not None else rng.integers(12, 40))
+    lines = [_fill(tmpl[i % len(tmpl)], rng) for i in range(n)]
+    return "\n".join(lines) + "\n"
+
+
+def training_text(seed: int = 1000007, n_lines: int = 4000) -> str:
+    """Deterministic clean-code sample used to train the char-bigram
+    perplexity model (ScorerActor.__init__). Same seed everywhere →
+    identical model in every worker/process."""
+    rng = np.random.default_rng(seed)
+    parts = []
+    for lang in ("python", "javascript", "c", "go", "markdown"):
+        parts.append(clean_code(lang, rng, n_lines=n_lines // 5))
+    return "\n".join(parts)
+
+
+def _make_content(pattern: str, lang: str, rng: np.random.Generator) -> str:
+    if pattern == "clean_code":
+        return clean_code(lang, rng)
+    if pattern == "long_line":
+        body = clean_code(lang, rng, n_lines=8)
+        return body + "x" * 5000 + "\n"
+    if pattern == "dup_lines":
+        k = int(rng.choice([9, 99]))
+        line = _fill(_TEMPLATES[lang][0], rng)
+        uniq = _fill(_TEMPLATES[lang][-1], rng)
+        return "\n".join([line] * k + [uniq]) + "\n"
+    if pattern == "low_alnum":
+        chars = np.array(list("#=-*"))
+        n = int(rng.integers(20, 40))
+        lines = ["".join(rng.choice(chars, size=60)) + " x" + str(int(rng.integers(10, 99)))
+                 for _ in range(n)]
+        return "\n".join(lines) + "\n"
+    if pattern == "autogen":
+        marker = AUTOGEN_MARKERS[int(rng.integers(0, len(AUTOGEN_MARKERS)))]
+        return f"// {marker} -- tool v{int(rng.integers(1, 9))}\n" + clean_code(lang, rng)
+    if pattern == "wrong_lang":
+        n = int(rng.integers(15, 30))
+        lines = [" ".join(rng.choice(_LOREM, size=int(rng.integers(6, 11))))
+                 for _ in range(n)]
+        return "\n".join(lines) + "\n"
+    if pattern == "high_ppl":
+        alphabet = np.array(list("abcdefghijklmnopqrstuvwxyz0123456789_@!$%^&"))
+        n = int(rng.integers(15, 30))
+        lines = ["".join(rng.choice(alphabet, size=int(rng.integers(30, 70))))
+                 for _ in range(n)]
+        return "\n".join(lines) + "\n"
+    if pattern == "pii_email":
+        body = clean_code(lang, rng, n_lines=10)
+        user = _IDENT[int(rng.integers(0, len(_IDENT)))]
+        return body + f"# contact: {user}{int(rng.integers(1, 99))}@example.com\n"
+    if pattern == "pii_ip":
+        body = clean_code(lang, rng, n_lines=10)
+        octets = rng.integers(1, 255, size=4)
+        return body + f"# host={'.'.join(str(int(o)) for o in octets)}\n"
+    if pattern == "pii_key":
+        body = clean_code(lang, rng, n_lines=10)
+        if rng.random() < 0.5:
+            tok = "AKIA" + "".join(np.array(list("ABCDEFGHIJKLMNOP0123456789"))[
+                rng.integers(0, 26, size=16)])
+        else:
+            tok = "ghp_" + "".join(np.array(list(
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"))[
+                rng.integers(0, 62, size=36)])
+        return body + f"# token = {tok}\n"
+    if pattern == "empty":
+        return "" if rng.random() < 0.5 else "  \n \n"
+    if pattern == "huge":
+        block = clean_code(lang, rng, n_lines=30)
+        reps = max(2, (2 << 20) // max(1, len(block)))
+        return block * reps
+    raise ValueError(pattern)
+
+
+def generate_corpus(n_rows: int = 2000, seed: int = 42) -> pa.Table:
+    """Build the synthetic corpus. Returns columns
+    (repo, path, commit, lang, content, pattern); `pattern` is a
+    test-only tag — drop it before running the engine."""
+    rng = np.random.default_rng(seed)
+    names, weights = zip(*PATTERNS)
+    pat_idx = rng.choice(len(names), size=n_rows, p=np.array(weights))
+    lang_idx = rng.choice(len(LANGS), size=n_rows, p=np.array(LANG_WEIGHTS))
+    hot = rng.random(n_rows) < 0.30  # skewed hot repo (FIXTURES.md F1)
+
+    repos, paths, commits, langs, contents, pats = [], [], [], [], [], []
+    for i in range(n_rows):
+        pattern = names[pat_idx[i]]
+        lang = LANGS[lang_idx[i]]
+        if pattern in ("wrong_lang", "high_ppl"):
+            lang = "python"  # declared lang; content disagrees
+        elif pattern != "empty" and lang == "unknown":
+            lang = "python"  # keep template-backed langs for content builders
+        repo = "org0/repo0" if hot[i] else f"org{i % 7}/repo{i % 23}"
+        path = f"src/dir{i % 13}/file{i}.{EXTS.get(lang, 'txt')}"
+        commit = hashlib.sha256(f"{repo}/{path}".encode()).hexdigest()[:40]
+        content = _make_content(pattern, lang if lang in _TEMPLATES else "python", rng)
+        repos.append(repo); paths.append(path); commits.append(commit)
+        langs.append(lang); contents.append(content); pats.append(pattern)
+
+    return pa.table({
+        "repo": pa.array(repos, pa.string()),
+        "path": pa.array(paths, pa.string()),
+        "commit": pa.array(commits, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "content": pa.array(contents, pa.large_string()),
+        "pattern": pa.array(pats, pa.string()),
+    })
+
+
+def write_corpus(out_dir: str, n_rows: int = 2000, seed: int = 42,
+                 n_shards: int = 4) -> list[str]:
+    """Write the corpus as `n_shards` parquet files (the resumable work
+    units) under ``out_dir``; returns the file paths. Idempotent for a
+    given (out_dir, n_rows, seed, n_shards)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, f".done-{n_rows}-{seed}-{n_shards}")
+    paths = [os.path.join(out_dir, f"code_files_{s:04d}.parquet")
+             for s in range(n_shards)]
+    if os.path.exists(marker):
+        return paths
+    table = generate_corpus(n_rows, seed).drop_columns(["pattern"])
+    per = (table.num_rows + n_shards - 1) // n_shards
+    for s, p in enumerate(paths):
+        pq.write_table(table.slice(s * per, per), p)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths

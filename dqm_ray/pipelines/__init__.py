@@ -1,0 +1,15 @@
+from dqm_ray.pipelines.quality import (
+    build_quality_pipeline,
+    finalize_batch,
+    metrics_for,
+    run_quality_pipeline,
+)
+from dqm_ray.pipelines.checkpoint import Manifest
+
+__all__ = [
+    "build_quality_pipeline",
+    "finalize_batch",
+    "metrics_for",
+    "run_quality_pipeline",
+    "Manifest",
+]

@@ -1,0 +1,47 @@
+"""Resumable-run manifest — the checkpoint layer the reference lacks
+(SURVEY §4.1: monitoring there is lossy by design; a batch corpus run
+must not be).
+
+Work units are input shards (parquet files). A shard group is processed,
+its output lands in a per-group directory written under a temp name and
+atomically renamed, and only then is the group recorded in the manifest.
+A killed run therefore leaves either (a) nothing, or (b) a complete,
+recorded group — rerunning skips recorded shards (anti-join of pending
+inputs against the manifest, not file-glob heuristics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+class Manifest:
+    """Append-only JSONL of completed work units, with atomic rewrite."""
+
+    def __init__(self, out_dir: str):
+        self.path = os.path.join(out_dir, "manifest.json")
+        os.makedirs(out_dir, exist_ok=True)
+        self._entries: dict[str, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    if line.strip():
+                        e = json.loads(line)
+                        self._entries[e["shard"]] = e
+
+    @property
+    def done(self) -> set[str]:
+        return set(self._entries)
+
+    def pending(self, shards: list[str]) -> list[str]:
+        return [s for s in shards if s not in self._entries]
+
+    def mark(self, shards: list[str], **info) -> None:
+        for s in shards:
+            self._entries[s] = {"shard": s, **info}
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            for e in self._entries.values():
+                f.write(json.dumps(e) + "\n")
+        os.replace(tmp, self.path)  # atomic on POSIX

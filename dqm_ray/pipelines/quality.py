@@ -1,0 +1,211 @@
+"""The flagship quality-filter pipeline — the DFModule-composite analog
+(reference include/dqm/modules/DFModule.hpp:58-134: assemble enabled
+stages from config and run them over the same window), re-expressed as a
+lazy chain of ``map_batches`` stages on one streaming ``Dataset``:
+
+    read_parquet(shards)                        # S1/S2 source analog
+      → add_partition_id                        # hash64(repo) % P
+      → lineage sha256 (+ invariant check)      # P3/P5 analog, fail-fast
+      → heuristic_rules_batch                   # P2-P4 analogs, stateless
+      → ScorerStage (actor pool)                # T1/T2 analogs
+      → finalize (reasons → keep)               # Pipeline-runner analog
+      → scrub                                   # PII rewrite
+      ├→ write_parquet per shard-group          # K1 sink, resumable
+      └→ metrics partials → groupby aggregate   # K3 opmon analog
+
+No stage materializes the dataset; the only shuffle is the tiny metrics
+groupby over per-batch partials.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from dqm_ray.config import QualityConfig
+from dqm_ray.pipelines.checkpoint import Manifest
+from dqm_ray.stages.lineage import lineage_batch
+from dqm_ray.stages.rules import add_partition_id, heuristic_rules_batch
+from dqm_ray.stages.scorer import ScorerStage
+from dqm_ray.stages.scrub import scrub_batch
+
+
+def _multirange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate arange(starts[i], starts[i]+counts[i]) — vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    cum = np.cumsum(counts)
+    return np.arange(total, dtype=np.int64) + np.repeat(
+        starts.astype(np.int64) - np.concatenate(([0], cum[:-1])), counts)
+
+
+def concat_list_columns(a: pa.ListArray, b: pa.ListArray) -> pa.ListArray:
+    """Row-wise concat of two list<string> arrays, vectorized."""
+    ao = np.asarray(a.offsets, dtype=np.int64)
+    bo = np.asarray(b.offsets, dtype=np.int64)
+    ca, cb = np.diff(ao), np.diff(bo)
+    new_off = np.zeros(len(ca) + 1, dtype=np.int64)
+    np.cumsum(ca + cb, out=new_off[1:])
+    take = np.empty(new_off[-1], dtype=np.int64)
+    take[_multirange(new_off[:-1], ca)] = _multirange(ao[:-1], ca)
+    take[_multirange(new_off[:-1] + ca, cb)] = len(a.values) + _multirange(bo[:-1], cb)
+    values = pa.concat_arrays([a.values.cast(pa.string()),
+                               b.values.cast(pa.string())]).take(take)
+    return pa.ListArray.from_arrays(pa.array(new_off, pa.int32()), values)
+
+
+def finalize_batch(batch: pa.Table) -> pa.Table:
+    """Merge rule_reasons + scorer_reasons → `reasons`; keep = empty."""
+    cols = batch.column_names
+    if "scorer_reasons" in cols:
+        reasons = concat_list_columns(
+            batch.column("rule_reasons").combine_chunks(),
+            batch.column("scorer_reasons").combine_chunks())
+        batch = batch.drop_columns(["rule_reasons", "scorer_reasons"])
+    else:
+        reasons = batch.column("rule_reasons").combine_chunks()
+        batch = batch.drop_columns(["rule_reasons"])
+    keep = np.diff(np.asarray(reasons.offsets, dtype=np.int64)) == 0
+    batch = batch.append_column("reasons", reasons)
+    return batch.append_column("keep", pa.array(keep))
+
+
+def build_quality_pipeline(ds, cfg: QualityConfig | None = None, *,
+                           with_scorer: bool = True,
+                           ref_sha_column: str | None = None,
+                           alert_dir: str | None = None):
+    """Assemble the lazy stage chain on an input Dataset with columns
+    (repo, path, commit, lang, content [, <ref_sha_column>])."""
+    cfg = cfg or QualityConfig()
+    ds = ds.map_batches(
+        functools.partial(add_partition_id, num_partitions=cfg.num_partitions),
+        batch_format="pyarrow", batch_size=cfg.rule_batch_size)
+    ds = ds.map_batches(
+        functools.partial(lineage_batch, ref_column=ref_sha_column,
+                          alert_dir=alert_dir,
+                          fail_fast=cfg.fail_fast_on_lineage),
+        batch_format="pyarrow", batch_size=cfg.rule_batch_size)
+    ds = ds.map_batches(
+        functools.partial(heuristic_rules_batch, cfg=cfg),
+        batch_format="pyarrow", batch_size=cfg.rule_batch_size)
+    if with_scorer:
+        ds = ds.map_batches(
+            ScorerStage,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.scorer_batch_size,
+            concurrency=cfg.scorer_concurrency,
+            num_cpus=1)
+    ds = ds.map_batches(finalize_batch, batch_format="pyarrow",
+                        batch_size=cfg.rule_batch_size)
+    ds = ds.map_batches(functools.partial(scrub_batch, cfg=cfg),
+                        batch_format="pyarrow", batch_size=cfg.rule_batch_size)
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# metrics (opmon-counters analog, plugins/DQMProcessor.cpp:80-109):
+# per-batch partial counts keyed by partition_id, then one tiny groupby.
+# ---------------------------------------------------------------------------
+
+def metrics_partial_batch(batch: pa.Table) -> pa.Table:
+    pid = batch.column("partition_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = batch.column("keep").to_numpy(zero_copy_only=False)
+    scrubbed = batch.column("scrubbed").to_numpy(zero_copy_only=False)
+    nbytes = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = np.unique(pid)
+    dense = np.searchsorted(uniq, pid)
+    return pa.table({
+        "partition_id": pa.array(uniq, pa.int32()),
+        "rows": pa.array(np.bincount(dense), pa.int64()),
+        "kept": pa.array(np.bincount(dense, weights=keep).astype(np.int64), pa.int64()),
+        "scrubbed": pa.array(np.bincount(dense, weights=scrubbed).astype(np.int64),
+                             pa.int64()),
+        "bytes": pa.array(np.bincount(dense, weights=nbytes).astype(np.int64),
+                          pa.int64()),
+    })
+
+
+def metrics_for(ds):
+    """Aggregate partial per-batch counters into per-partition metrics.
+    The input should already carry keep/scrubbed/n_chars/partition_id."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.select_columns(
+        ["partition_id", "keep", "scrubbed", "n_chars"]
+    ).map_batches(metrics_partial_batch, batch_format="pyarrow")
+    out = partials.groupby("partition_id").aggregate(
+        Sum("rows", alias_name="rows"),
+        Sum("kept", alias_name="kept"),
+        Sum("scrubbed", alias_name="scrubbed"),
+        Sum("bytes", alias_name="bytes"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# resumable runner
+# ---------------------------------------------------------------------------
+
+def run_quality_pipeline(input_paths: list[str], out_dir: str,
+                         cfg: QualityConfig | None = None, *,
+                         with_scorer: bool = True,
+                         ref_sha_column: str | None = None,
+                         group_size: int | None = None,
+                         write_metrics: bool = True) -> dict:
+    """Process input shards in resumable groups.
+
+    Each group: read only that group's files → full stage chain →
+    write to ``out_dir/data/<group>.tmp`` → rename → mark manifest.
+    Rerun after a kill skips completed groups (Manifest semantics).
+    Returns summary counts.
+    """
+    import ray.data as rd
+
+    cfg = cfg or QualityConfig()
+    manifest = Manifest(out_dir)
+    alert_dir = os.path.join(out_dir, "alerts")
+    names = {p: os.path.basename(p) for p in input_paths}
+    pending = [p for p in input_paths if names[p] not in manifest.done]
+    gs = group_size or max(1, len(pending))
+    summary = {"groups_run": 0, "groups_skipped":
+               len(input_paths) - len(pending), "rows": 0, "kept": 0}
+
+    for gi in range(0, len(pending), gs):
+        group = pending[gi:gi + gs]
+        group_id = f"group-{names[group[0]].rsplit('.', 1)[0]}"
+        ds = rd.read_parquet(group)
+        ds = build_quality_pipeline(ds, cfg, with_scorer=with_scorer,
+                                    ref_sha_column=ref_sha_column,
+                                    alert_dir=alert_dir)
+        final_dir = os.path.join(out_dir, "data", group_id)
+        tmp_dir = final_dir + ".tmp"
+        if os.path.exists(tmp_dir):
+            import shutil
+            shutil.rmtree(tmp_dir)
+        ds = ds.drop_columns(["is_empty", "has_autogen"])
+        ds.write_parquet(tmp_dir)
+        if os.path.exists(final_dir):  # crash between rename and mark
+            import shutil
+            shutil.rmtree(final_dir)
+        os.replace(tmp_dir, final_dir)
+
+        # metrics: re-read ONLY the small metadata columns of this group's
+        # output (column-pruned parquet read — negligible vs content I/O)
+        out_ds = rd.read_parquet(final_dir,
+                                 columns=["partition_id", "keep", "scrubbed",
+                                          "n_chars"])
+        m = metrics_for(out_ds).to_pandas()
+        if write_metrics:
+            mdir = os.path.join(out_dir, "metrics")
+            os.makedirs(mdir, exist_ok=True)
+            m.to_parquet(os.path.join(mdir, f"{group_id}.parquet"))
+        summary["rows"] += int(m["rows"].sum())
+        summary["kept"] += int(m["kept"].sum())
+        summary["groups_run"] += 1
+        manifest.mark([names[p] for p in group], group_id=group_id)
+    return summary

@@ -1,0 +1,121 @@
+"""Stateful scorer stage — language-ID + char-bigram perplexity.
+
+The actor-pool analog of the reference's build-once state (ChannelMap
+filled once then read by every algorithm, include/dqm/ChannelMapFiller.hpp:38-75;
+per-channel accumulators in ChannelStream, include/dqm/ChannelStream.hpp:34-250):
+model construction happens ONCE per actor in ``__init__``, per-batch work
+is vectorized numpy over Arrow columns.
+
+Used as ``ds.map_batches(ScorerStage, fn_constructor_kwargs={"cfg": cfg},
+concurrency=N, batch_size=B, batch_format="pyarrow")``.
+
+The model is injectable (``model_text``): the deterministic self-trained
+char-bigram model is the tested default; a real fastText lid.176 /
+KenLM model drops into the same interface when its wheel is available
+(not in this sandbox).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dqm_ray.config import LANG_MARKERS, QualityConfig
+
+
+class VectorBigramModel:
+    """Vectorized twin of oracle.BigramModel: add-one-smoothed char-bigram
+    log-probabilities over a 128-symbol alphabet (ASCII; >127 → bucket 127)."""
+
+    V = 128
+
+    def __init__(self, training_text: str):
+        ids = self._ids(training_text)
+        counts = np.zeros((self.V, self.V), dtype=np.int64)
+        np.add.at(counts, (ids[:-1], ids[1:]), 1)
+        row_tot = counts.sum(axis=1, keepdims=True)
+        self.log_p = np.log((counts + 1) / (row_tot + self.V))
+
+    @staticmethod
+    def _ids(text: str) -> np.ndarray:
+        cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        return np.minimum(cp, 127).astype(np.int64)
+
+    def log_ppl_many(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            ids = self._ids(t)
+            if len(ids) < 2:
+                continue
+            out[i] = -self.log_p[ids[:-1], ids[1:]].sum() / (len(ids) - 1)
+        return out
+
+
+class ScorerStage:
+    """Callable class for an actor-pool ``map_batches`` stage.
+
+    Appends: detected_lang (string), log_ppl (float64),
+    scorer_reasons (list<string> in cfg.enabled_scorer_rules order).
+    """
+
+    def __init__(self, cfg: QualityConfig | None = None,
+                 model_text: str | None = None):
+        from dqm_ray.corpus import training_text
+
+        self.cfg = cfg or QualityConfig()
+        # once-per-actor state (T1 analog): bigram model + marker tables
+        self.model = VectorBigramModel(model_text or training_text())
+        self.lang_names = list(LANG_MARKERS.keys())
+        self.lang_index = {l: i for i, l in enumerate(self.lang_names)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        content = batch.column("content").combine_chunks()
+        prefix = pc.utf8_slice_codeunits(content, 0, cfg.analyze_prefix_chars)
+
+        # marker-hit matrix: (n_langs, n_rows), vectorized substring counts
+        n = len(batch)
+        hits = np.zeros((len(self.lang_names), n), dtype=np.int64)
+        for li, lang in enumerate(self.lang_names):
+            for marker in LANG_MARKERS[lang]:
+                hits[li] += pc.count_substring(prefix, marker) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+
+        best = hits.argmax(axis=0)          # first max wins — oracle tie rule
+        best_hits = hits[best, np.arange(n)]
+        detected = np.where(
+            best_hits >= cfg.langid_min_marker_hits,
+            np.array(self.lang_names, dtype=object)[best], "unknown")
+
+        texts = prefix.to_pylist()
+        log_ppl = self.model.log_ppl_many(texts)
+
+        # lang_mismatch: declared lang has a marker profile, file is big
+        # enough, none of the declared lang's markers appear
+        declared = batch.column("lang").to_numpy(zero_copy_only=False)
+        decl_idx = np.array([self.lang_index.get(l, -1) for l in declared])
+        n_lines = pc.list_value_length(pc.split_pattern(prefix, "\n")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        nonblank = pc.greater(
+            pc.utf8_length(pc.utf8_trim_whitespace(prefix)), 0
+        ).to_numpy(zero_copy_only=False)
+        decl_hits = np.where(decl_idx >= 0,
+                             hits[np.maximum(decl_idx, 0), np.arange(n)], 1)
+        mismatch = (decl_idx >= 0) & (n_lines >= cfg.langid_min_lines) \
+            & nonblank & (decl_hits == 0)
+        high_ppl = log_ppl > cfg.max_log_ppl
+
+        from dqm_ray.stages.rules import reasons_from_masks
+        masks = []
+        for rule in cfg.enabled_scorer_rules:
+            if rule == "lang_mismatch":
+                masks.append(("lang_mismatch", mismatch))
+            elif rule == "high_ppl":
+                masks.append(("high_ppl", high_ppl))
+
+        out = batch.append_column("detected_lang",
+                                  pa.array(detected.astype(object), pa.string()))
+        out = out.append_column("log_ppl", pa.array(log_ppl, pa.float64()))
+        out = out.append_column("scorer_reasons", reasons_from_masks(masks))
+        return out

@@ -1,0 +1,33 @@
+"""PII / secret scrub — in-place content rewrite via RE2 kernels.
+
+Applies ``cfg.scrub.patterns`` IN ORDER with
+``pyarrow.compute.replace_substring_regex`` (RE2 — the same engine
+DuckDB uses, so the SQL oracle reproduces it exactly). The full content
+is scrubbed, not just the analysis prefix. Stateless tasks; zero Python
+row loops.
+
+Reference role: the per-record rewrite step of the validate→transform
+chain (Pipeline check semantics, include/dqm/Pipeline.hpp:98-143).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dqm_ray.config import QualityConfig
+
+
+def scrub_batch(batch: pa.Table, *, cfg: QualityConfig) -> pa.Table:
+    """Replace `content` with scrubbed text; append `scrubbed` bool
+    (True if any rewrite fired) and keep the original under `content`
+    only in scrubbed form — lineage sha256 must run BEFORE this stage."""
+    content = batch.column("content")
+    scrubbed = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+    for _name, pattern, repl in cfg.scrub.patterns:
+        scrubbed = pc.replace_substring_regex(scrubbed, pattern=pattern,
+                                              replacement=repl)
+    changed = pc.not_equal(scrubbed, content)
+    idx = batch.column_names.index("content")
+    out = batch.set_column(idx, "content", scrubbed)
+    return out.append_column("scrubbed", changed)

@@ -1,0 +1,54 @@
+"""Lineage invariant: sha256 equality passes untouched data, tampered
+rows raise + write alert rows (check_empty fail-fast analog,
+reference include/dqm/Pipeline.hpp:45-55)."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from dqm_ray.stages.lineage import LineageError, lineage_batch, sha256_column
+
+
+def _with_ref(table: pa.Table) -> pa.Table:
+    return table.append_column(
+        "sha256_ref", sha256_column(table["content"].combine_chunks()))
+
+
+def test_intact_passes(corpus_table):
+    t = _with_ref(corpus_table.drop_columns(["pattern"]))
+    out = lineage_batch(t, ref_column="sha256_ref")
+    assert out["lineage_ok"].to_pylist() == [True] * len(t)
+
+
+def test_tampered_raises_and_alerts(corpus_table, tmp_path):
+    t = _with_ref(corpus_table.drop_columns(["pattern"]))
+    # mutate 3 rows' content without updating sha256_ref (FIXTURES.md F2)
+    content = t["content"].to_pylist()
+    for i in (5, 50, 100):
+        content[i] = content[i] + "TAMPERED"
+    idx = t.column_names.index("content")
+    t = t.set_column(idx, "content", pa.array(content, pa.large_string()))
+    alert_dir = str(tmp_path / "alerts")
+    with pytest.raises(LineageError):
+        lineage_batch(t, ref_column="sha256_ref", alert_dir=alert_dir)
+    files = glob.glob(os.path.join(alert_dir, "alert-*.parquet"))
+    assert files
+    import pyarrow.parquet as pq
+
+    alerts = pq.read_table(files[0])
+    assert alerts.num_rows == 3
+    assert set(alerts.column_names) >= {"repo", "path", "sha256", "sha256_ref"}
+
+
+def test_warn_mode_marks_rows(corpus_table):
+    t = _with_ref(corpus_table.drop_columns(["pattern"]).slice(0, 20))
+    content = t["content"].to_pylist()
+    content[3] += "X"
+    t = t.set_column(t.column_names.index("content"), "content",
+                     pa.array(content, pa.large_string()))
+    out = lineage_batch(t, ref_column="sha256_ref", fail_fast=False)
+    ok = out["lineage_ok"].to_pylist()
+    assert ok[3] is False and sum(ok) == 19

@@ -1,0 +1,91 @@
+"""End-to-end flagship pipeline on the synthetic corpus via Ray Data:
+keep/drop F1 vs the naive oracle labels, scrubbed-text equality,
+resumability (kill-and-rerun completes from manifest)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dqm_ray.config import QualityConfig
+from dqm_ray.corpus import generate_corpus, write_corpus
+from dqm_ray.oracle import label_table
+from dqm_ray.pipelines.quality import (build_quality_pipeline,
+                                       run_quality_pipeline)
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return QualityConfig(scorer_concurrency=2, scorer_batch_size=128,
+                         rule_batch_size=256)
+
+
+def test_e2e_f1_vs_oracle(ray_session, small_cfg, tmp_path_factory):
+    import ray.data as rd
+
+    n = 600
+    table = generate_corpus(n, seed=23)
+    inp = table.drop_columns(["pattern"])
+    ds = rd.from_arrow(inp)
+    out = build_quality_pipeline(ds, small_cfg).to_pandas()
+
+    oracle = label_table(inp, small_cfg)
+    odf = {(r["repo"], r["path"], r["commit"]): r for r in oracle}
+    assert len(out) == n
+
+    tp = fp = fn = 0
+    scrub_match = 0
+    for _, row in out.iterrows():
+        ref = odf[(row["repo"], row["path"], row["commit"])]
+        if row["keep"] and ref["keep"]:
+            tp += 1
+        elif row["keep"] and not ref["keep"]:
+            fp += 1
+        elif not row["keep"] and ref["keep"]:
+            fn += 1
+        scrub_match += row["content"] == ref["scrubbed_content"]
+        assert row["sha256"] == ref["sha256"]
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, (tp, fp, fn)
+    assert scrub_match == n
+
+
+def test_resume_from_manifest(ray_session, small_cfg, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("corpus_src"))
+    out1 = str(tmp_path_factory.mktemp("out"))
+    paths = write_corpus(src, n_rows=400, seed=31, n_shards=4)
+
+    # run only the first half (simulates a killed run that completed
+    # 2 of 4 groups before dying)
+    s1 = run_quality_pipeline(paths[:2], out1, small_cfg, group_size=1,
+                              write_metrics=False)
+    assert s1["groups_run"] == 2
+
+    # rerun over the full input: completed shards must be skipped
+    s2 = run_quality_pipeline(paths, out1, small_cfg, group_size=1,
+                              write_metrics=False)
+    assert s2["groups_skipped"] == 2 and s2["groups_run"] == 2
+
+    # third run: everything skipped, nothing recomputed
+    s3 = run_quality_pipeline(paths, out1, small_cfg, group_size=1)
+    assert s3["groups_run"] == 0 and s3["groups_skipped"] == 4
+
+    # total output rows == input rows
+    import ray.data as rd
+
+    total = rd.read_parquet(os.path.join(out1, "data")).count()
+    assert total == 400
+
+
+def test_metrics_sum_to_totals(ray_session, small_cfg):
+    import ray.data as rd
+
+    from dqm_ray.pipelines.quality import metrics_for
+
+    table = generate_corpus(300, seed=5).drop_columns(["pattern"])
+    ds = build_quality_pipeline(rd.from_arrow(table), small_cfg)
+    m = metrics_for(ds).to_pandas()
+    assert m["rows"].sum() == 300
+    assert 0 < m["kept"].sum() < 300
+    assert (m["partition_id"] >= 0).all()
+    assert m["bytes"].sum() == sum(len(c) for c in table["content"].to_pylist())

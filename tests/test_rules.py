@@ -1,0 +1,100 @@
+"""Heuristic-rule stage vs naive oracle — the randomized-vs-oracle
+pattern of the reference (unittest/RMS_test.cxx:26-69)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dqm_ray.oracle import label_table
+from dqm_ray.stages.rules import add_partition_id, heuristic_rules_batch
+from dqm_ray.stages.scrub import scrub_batch
+from dqm_ray.stages.lineage import sha256_column
+
+
+@pytest.fixture(scope="module")
+def labeled(corpus_table, cfg):
+    inp = corpus_table.drop_columns(["pattern"])
+    engine = heuristic_rules_batch(inp, cfg=cfg)
+    oracle = label_table(inp, cfg)
+    return engine, oracle
+
+
+def test_metric_columns_match_oracle(labeled):
+    engine, oracle = labeled
+    for col, key in [("n_chars", "n_chars"), ("n_lines", "n_lines"),
+                     ("max_line_len", "max_line_len")]:
+        assert engine[col].to_pylist() == [r[key] for r in oracle], col
+    for col in ("mean_line_len", "alnum_frac", "dup_line_ratio"):
+        np.testing.assert_allclose(
+            engine[col].to_pylist(), [r[col] for r in oracle], rtol=1e-12)
+
+
+def test_rule_reasons_match_oracle(labeled, cfg):
+    engine, oracle = labeled
+    got = engine["rule_reasons"].to_pylist()
+    want = [[x for x in r["reasons"] if x in cfg.enabled_rules] for r in oracle]
+    assert got == want
+
+
+def test_known_patterns(corpus_table, cfg):
+    """Pattern rows have their analytically-known outcome (filegen analog)."""
+    engine = heuristic_rules_batch(corpus_table, cfg=cfg)
+    pats = corpus_table["pattern"].to_pylist()
+    reasons = engine["rule_reasons"].to_pylist()
+    for p, r in zip(pats, reasons):
+        if p == "long_line":
+            assert "long_lines" in r
+        elif p == "low_alnum":
+            assert "low_alnum" in r
+        elif p == "autogen":
+            assert "autogen" in r
+        elif p == "empty":
+            assert r == ["empty"]
+        elif p == "dup_lines":
+            assert "dup_lines" in r
+        elif p in ("clean_code", "pii_email", "pii_ip", "pii_key"):
+            assert r == []
+
+
+def test_dup_line_ratio_exact(cfg):
+    """k identical + 1 unique lines → ratio == 1 - 2/(k+1) exactly."""
+    for k in (9, 99):
+        content = "\n".join(["same line"] * k + ["unique"])
+        t = pa.table({"content": pa.array([content], pa.large_string())})
+        out = heuristic_rules_batch(t, cfg=cfg)
+        assert out["dup_line_ratio"][0].as_py() == pytest.approx(1 - 2 / (k + 1))
+
+
+def test_scrub_exact(corpus_table, cfg):
+    inp = corpus_table.drop_columns(["pattern"])
+    out = scrub_batch(inp, cfg=cfg)
+    oracle = label_table(inp, cfg)
+    assert out["content"].to_pylist() == [r["scrubbed_content"] for r in oracle]
+    assert out["scrubbed"].to_pylist() == [r["scrubbed"] for r in oracle]
+    pats = corpus_table["pattern"].to_pylist()
+    for p, s, c in zip(pats, out["scrubbed"].to_pylist(),
+                       out["content"].to_pylist()):
+        if p == "pii_email":
+            assert s and "<EMAIL>" in c and "@example.com" not in c
+        if p == "pii_ip":
+            assert s and "<IP>" in c
+        if p == "pii_key":
+            assert s and "<KEY>" in c
+
+
+def test_sha256_matches_hashlib(corpus_table):
+    import hashlib
+
+    content = corpus_table["content"].combine_chunks()
+    got = sha256_column(content).to_pylist()
+    want = [hashlib.sha256(c.encode()).hexdigest()
+            for c in corpus_table["content"].to_pylist()]
+    assert got == want
+
+
+def test_partition_id_stable(corpus_table, cfg):
+    a = add_partition_id(corpus_table, num_partitions=cfg.num_partitions)
+    b = add_partition_id(corpus_table, num_partitions=cfg.num_partitions)
+    assert a["partition_id"].to_pylist() == b["partition_id"].to_pylist()
+    pid = np.array(a["partition_id"].to_pylist())
+    assert pid.min() >= 0 and pid.max() < cfg.num_partitions

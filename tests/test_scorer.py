@@ -1,0 +1,63 @@
+"""Scorer stage (langid + perplexity) vs naive oracle."""
+
+import numpy as np
+import pytest
+
+from dqm_ray.corpus import training_text
+from dqm_ray.oracle import BigramModel, label_table
+from dqm_ray.stages.scorer import ScorerStage, VectorBigramModel
+
+
+@pytest.fixture(scope="module")
+def stage(cfg):
+    return ScorerStage(cfg)
+
+
+def test_bigram_models_agree():
+    text = training_text(seed=5, n_lines=200)
+    naive = BigramModel(text)
+    vec = VectorBigramModel(text)
+    samples = ["def foo(x):\n    return x + 1\n", "qqqzzz@@@!!!", "", "a",
+               "The quick brown fox. " * 10]
+    for s in samples:
+        assert vec.log_ppl_many([s])[0] == pytest.approx(naive.log_ppl(s),
+                                                         rel=1e-9, abs=1e-12)
+
+
+def test_scorer_matches_oracle(corpus_table, cfg, stage):
+    inp = corpus_table.drop_columns(["pattern"])
+    out = stage(inp)
+    oracle = label_table(inp, cfg)
+    np.testing.assert_allclose(out["log_ppl"].to_pylist(),
+                               [r["log_ppl"] for r in oracle], rtol=1e-9)
+    assert out["detected_lang"].to_pylist() == \
+        [r["detected_lang"] for r in oracle]
+    got = out["scorer_reasons"].to_pylist()
+    want = [[x for x in r["reasons"] if x in cfg.enabled_scorer_rules]
+            for r in oracle]
+    assert got == want
+
+
+def test_pattern_outcomes(corpus_table, stage):
+    out = stage(corpus_table)
+    pats = corpus_table["pattern"].to_pylist()
+    reasons = out["scorer_reasons"].to_pylist()
+    for p, r in zip(pats, reasons):
+        if p == "wrong_lang":
+            assert "lang_mismatch" in r
+        elif p == "high_ppl":
+            assert "high_ppl" in r
+        elif p == "clean_code":
+            assert r == []
+
+
+def test_separation_margin(corpus_table, cfg, stage):
+    """Perplexity threshold sits with real margin between clean code and
+    random soup (so float noise can't flip labels)."""
+    out = stage(corpus_table)
+    pats = corpus_table["pattern"].to_pylist()
+    ppl = np.array(out["log_ppl"].to_pylist())
+    clean = ppl[[i for i, p in enumerate(pats) if p == "clean_code"]]
+    soup = ppl[[i for i, p in enumerate(pats) if p == "high_ppl"]]
+    assert clean.max() < cfg.max_log_ppl - 0.2
+    assert soup.min() > cfg.max_log_ppl + 0.2
