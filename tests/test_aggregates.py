@@ -1,0 +1,94 @@
+"""Custom aggregates vs numpy two-pass oracles + merge associativity
+(the property the reference gets from accumulator algebra,
+src/algs/STD.cpp:21-27; test pattern of unittest/RMS_test.cxx:26-69)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dqm_ray.aggregates import RMS, Hist, StdSentinel
+
+
+def _rand(n, seed):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0, 1000, size=n)
+
+
+@pytest.mark.parametrize("n", [1, 2, 200, 5000, 100_000])
+def test_rms_vs_numpy(n):
+    x = _rand(n, n)
+    agg = RMS("x")
+    acc = agg.aggregate_block(pa.table({"x": x}))
+    got = agg.finalize(acc)
+    want = math.sqrt(float((x ** 2).mean()))
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_rms_empty_sentinel():
+    agg = RMS("x")
+    assert agg.finalize(agg.aggregate_block(pa.table({"x": pa.array([], pa.float64())}))) == -1.0
+
+
+@pytest.mark.parametrize("n", [2, 200, 5000, 100_000])
+def test_std_vs_numpy(n):
+    x = _rand(n, n + 1)
+    agg = StdSentinel("x")
+    got = agg.finalize(agg.aggregate_block(pa.table({"x": x})))
+    assert got == pytest.approx(float(np.std(x, ddof=1)), rel=1e-6)
+
+
+def test_std_sentinels():
+    agg = StdSentinel("x")
+    assert agg.finalize(agg.aggregate_block(pa.table({"x": [5.0]}))) == -1.0
+    assert agg.finalize(agg.aggregate_block(
+        pa.table({"x": pa.array([], pa.float64())}))) == -1.0
+
+
+def test_hist_vs_numpy_and_overflow():
+    x = np.array([-5.0, 0.0, 49.9, 50.0, 999.9, 1000.0, 5000.0])
+    agg = Hist("x", lo=0, hi=1000, nbins=20)
+    got = agg.finalize(agg.aggregate_block(pa.table({"x": x})))
+    assert sum(got) == 4  # -5, 1000, 5000 dropped (under/overflow)
+    assert got[0] == 2 and got[1] == 1 and got[19] == 1
+
+
+@pytest.mark.parametrize("agg_cls,kwargs", [
+    (RMS, {}), (StdSentinel, {}), (Hist, {"lo": 0, "hi": 1000, "nbins": 16}),
+])
+def test_merge_associativity(agg_cls, kwargs):
+    """Split at random points, merge partials, compare to single pass."""
+    x = _rand(10_000, 99)
+    agg = agg_cls("x", **kwargs)
+    whole = agg.finalize(agg.aggregate_block(pa.table({"x": x})))
+    rng = np.random.default_rng(3)
+    cuts = np.sort(rng.choice(np.arange(1, len(x)), size=7, replace=False))
+    parts = np.split(x, cuts)
+    accs = [agg.aggregate_block(pa.table({"x": p})) for p in parts]
+    merged = accs[0]
+    for a in accs[1:]:
+        merged = agg.combine(merged, a)
+    got = agg.finalize(merged)
+    if isinstance(whole, list):
+        assert got == whole
+    else:
+        assert got == pytest.approx(whole, rel=1e-9)
+
+
+def test_distributed_groupby(ray_session):
+    """Through the real Dataset.groupby path."""
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({"k": rng.integers(0, 5, 5000),
+                       "v": rng.uniform(0, 100, 5000)})
+    ds = rd.from_pandas(df).repartition(8)
+    out = ds.groupby("k").aggregate(
+        StdSentinel("v", alias_name="std"),
+        RMS("v", alias_name="rms")).to_pandas().set_index("k").sort_index()
+    for k, g in df.groupby("k"):
+        assert out.loc[k, "std"] == pytest.approx(g["v"].std(ddof=1), rel=1e-9)
+        assert out.loc[k, "rms"] == pytest.approx(
+            math.sqrt((g["v"] ** 2).mean()), rel=1e-9)

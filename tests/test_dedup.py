@@ -1,0 +1,104 @@
+"""Dedup family: exact first-wins, MinHash-LSH with planted near-dups,
+SimHash hamming, n-gram Jaccard, embedding cosine near-dup."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from dqm_ray.functions.dedup import (MinHashStage, embedding_near_dup,
+                                     exact_dedup, minhash_lsh_dedup,
+                                     ngram_jaccard, simhash_batch,
+                                     simhash_candidates)
+
+
+def _docs_with_dups():
+    """40 unique docs + planted dup clusters with known structure."""
+    rng = np.random.default_rng(8)
+    words = np.array([f"word{i:03d}" for i in range(500)])
+    texts, ids = [], []
+    for i in range(40):
+        texts.append(" ".join(rng.choice(words, size=60)))
+        ids.append(i)
+    # exact dup pair: 100 copies 0; near-dup cluster: 101,102 are 1 with
+    # small edits
+    texts += [texts[0], texts[1] + " tail", "prefix " + texts[1]]
+    ids += [100, 101, 102]
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_exact_dedup_first_wins(ray_session):
+    import ray.data as rd
+
+    t = _docs_with_dups()
+    out = exact_dedup(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 42  # 43 rows, one exact dup removed
+    assert 0 in set(out["doc_id"]) and 100 not in set(out["doc_id"])
+
+
+def test_minhash_estimates_jaccard():
+    stage = MinHashStage(num_perm=128, bands=32)
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = "the quick brown fox jumps over the lazy cat " * 5
+    sig_a, sig_b = stage.signature(a), stage.signature(b)
+    est = (sig_a == sig_b).mean()
+    true = ngram_jaccard(a, b, k=5)
+    assert est == pytest.approx(true, abs=0.15)
+
+
+def test_minhash_lsh_finds_planted_dups(ray_session):
+    import ray.data as rd
+
+    t = _docs_with_dups()
+    dup_table, pairs = minhash_lsh_dedup(
+        rd.from_arrow(t), threshold=0.6, concurrency=2, batch_size=16)
+    groups = dict(zip(dup_table["doc_id"].to_pylist(),
+                      dup_table["dup_group"].to_pylist()))
+    assert groups.get(100) == 0          # exact dup joined to 0
+    assert groups.get(101) == 1 and groups.get(102) == 1  # near-dups to 1
+
+
+def test_simhash_near_vs_far():
+    a = "the quick brown fox jumps over the lazy dog " * 10
+    b = a.replace("dog ", "cat ", 1)
+    c = "completely different words entirely unrelated content here " * 10
+    t = pa.table({"text": pa.array([a, b, c])})
+    out = simhash_batch(t)["simhash"].to_pylist()
+    ham_ab = bin(out[0] ^ out[1]).count("1")
+    ham_ac = bin(out[0] ^ out[2]).count("1")
+    assert ham_ab < ham_ac
+    assert ham_ab <= 6
+
+
+def test_simhash_candidates_pipeline(ray_session):
+    import ray.data as rd
+
+    t = _docs_with_dups()
+    cand = simhash_candidates(rd.from_arrow(t), max_hamming=3)
+    pairs = set(map(tuple, cand[["id_a", "id_b"]].to_numpy()))
+    assert (0, 100) in pairs  # identical text → hamming 0
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert ngram_jaccard("aaaaaaaa", "bbbbbbbb") == 0.0
+
+
+def test_embedding_near_dup_planted(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((30, 16))
+    # rows 30/31: near-duplicates of row 0 (tiny noise)
+    near = base[0] + 0.01 * rng.standard_normal((2, 16))
+    emb = np.vstack([base, near])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(32), pa.int64()),
+        "embedding": pa.array(list(emb.astype(np.float32)),
+                              pa.list_(pa.float32(), 16)),
+    })
+    out = embedding_near_dup(rd.from_arrow(t), threshold=0.95,
+                             planes=6).to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy())) if len(out) else set()
+    assert (0, 30) in pairs and (0, 31) in pairs

@@ -1,0 +1,127 @@
+"""Text-analysis operators + ANN search."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from dqm_ray.functions.similarity import knn_brute_force, knn_ivf
+from dqm_ray.functions.text import (fingerprint_batch, line_stats_batch,
+                                    nl_langid_batch, quality_score_batch,
+                                    token_count_batch)
+
+
+def test_token_count_matches_re():
+    import re
+
+    texts = ["foo bar_1 baz", "", "a.b,c", "__x__ 42"]
+    t = pa.table({"text": pa.array(texts)})
+    got = token_count_batch(t)["n_tokens"].to_pylist()
+    want = [len(re.findall(r"[A-Za-z0-9_]+", s)) for s in texts]
+    assert got == want
+
+
+def test_nl_langid():
+    t = pa.table({"text": pa.array([
+        "the cat and the dog of the house is big",
+        "der hund und die katze das haus nicht",
+        "zzz qqq xxx",
+    ])})
+    got = nl_langid_batch(t)["detected_lang"].to_pylist()
+    assert got == ["en", "de", "unknown"]
+
+
+def test_fingerprint_shared_content():
+    a = "shared prefix of considerable length for fingerprinting purposes"
+    t = pa.table({"text": pa.array([a, a, a + " plus a tail", "entirely other"])})
+    fp = fingerprint_batch(t)["fingerprint"].to_pylist()
+    assert fp[0] == fp[1]
+    # min-hash fingerprint of a superset text usually keeps the min shingle
+    assert fp[2] == fp[0]
+    assert fp[3] != fp[0]
+
+
+def test_quality_score_ordering():
+    good = ("This is a well formed sentence with reasonable words. "
+            "It continues with more structure and clarity." * 3)
+    bad = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( ))))"
+    t = pa.table({"text": pa.array([good, bad])})
+    s = quality_score_batch(t)["quality_score"].to_pylist()
+    assert s[0] > s[1]
+
+
+def _embedding_ds(n=400, d=24, seed=9):
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32(), d)),
+    })
+    return t, emb
+
+
+def test_knn_brute_force_matches_numpy(ray_session):
+    import ray.data as rd
+
+    t, emb = _embedding_ds()
+    q_ids = np.array([0, 1])
+    q = emb[:2]
+    got = knn_brute_force(rd.from_arrow(t).repartition(4), q_ids, q, k=5,
+                          concurrency=2, batch_size=64)
+    # numpy oracle
+    e = emb.astype(np.float64)
+    e = e / np.linalg.norm(e, axis=1, keepdims=True)
+    for qi in q_ids:
+        sims = e @ e[qi]
+        order = np.lexsort((np.arange(len(sims)), -sims))[:5]
+        want = list(order)
+        sub = got[got["query_id"] == qi].sort_values("rank")
+        assert list(sub["vec_id"]) == want
+
+
+def test_knn_ivf_recall(ray_session):
+    import ray.data as rd
+
+    t, emb = _embedding_ds(n=600)
+    q_ids = np.array([3])
+    q = emb[3:4]
+    exact = knn_brute_force(rd.from_arrow(t).repartition(4), q_ids, q, k=10,
+                            concurrency=2)
+    approx = knn_ivf(rd.from_arrow(t).repartition(4), q_ids, q, k=10,
+                     n_centroids=8, n_probe=4, concurrency=2)
+    inter = set(exact["vec_id"]) & set(approx["vec_id"])
+    assert len(inter) >= 5  # probing half the centroids → decent recall
+
+
+def test_line_stats_batch_matches_python():
+    texts = ["a\nbb\nccc", "", "x" * 10, "dup\ndup\nuniq"]
+    t = pa.table({"text": pa.array(texts)})
+    out = line_stats_batch(t)
+    for i, s in enumerate(texts):
+        lines = s.split("\n")
+        assert out["n_lines"][i].as_py() == len(lines)
+        assert out["max_line_len"][i].as_py() == max(len(l) for l in lines)
+        assert out["dup_line_ratio"][i].as_py() == pytest.approx(
+            1 - len(set(lines)) / len(lines))
+
+
+def test_media_decode_stage(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.multimodal import (MediaDecodeStage, decode_media,
+                                              synthesize_media_table)
+
+    with pytest.raises(NotImplementedError):
+        MediaDecodeStage(strict=True)  # no codec libs in this sandbox
+
+    t = synthesize_media_table(32, seed=2)
+    out = decode_media(rd.from_arrow(t), strict=False, concurrency=2,
+                       batch_size=8).to_pandas()
+    assert len(out) == 32
+    assert out["feat"].map(len).eq(16).all()
+    # deterministic: same payload → same checksum across runs
+    out2 = decode_media(rd.from_arrow(t), strict=False, concurrency=2,
+                        batch_size=8).to_pandas()
+    m1 = out.sort_values("media_id")["checksum"].tolist()
+    m2 = out2.sort_values("media_id")["checksum"].tolist()
+    assert m1 == m2

@@ -1,0 +1,126 @@
+"""Driver-style correctness self-check: run each __ray_entry__ query and
+its DuckDB oracle side-by-side, compare row-count + schema + value
+equality (order-insensitive, columns sorted by name — mimics the graft
+driver's compare).
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def to_pandas(obj):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(obj, ray.data.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort",
+                        ignore_index=True)
+    return df
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(a) != len(b):
+        problems.append(f"rowcount {len(a)} vs {len(b)}")
+    if sorted(a.columns) != sorted(b.columns):
+        problems.append(f"schema {sorted(a.columns)} vs {sorted(b.columns)}")
+        return problems
+    if problems:
+        return problems
+    a, b = canon(a), canon(b)
+    for col in a.columns:
+        av, bv = a[col].to_numpy(), b[col].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            av = np.asarray(av, dtype=np.float64)
+            bv = np.asarray(bv, dtype=np.float64)
+            neq = ~((av == bv) | (np.isnan(av) & np.isnan(bv)))
+            if neq.any():
+                i = int(np.argmax(neq))
+                problems.append(
+                    f"col {col}: {int(neq.sum())} diffs, first@{i}: "
+                    f"{av[i]!r} vs {bv[i]!r} (delta {av[i]-bv[i]:.3e})")
+        else:
+            neq = av.astype(str) != bv.astype(str)
+            if neq.any():
+                i = int(np.argmax(neq))
+                problems.append(
+                    f"col {col}: {int(neq.sum())} diffs, first@{i}: "
+                    f"{av[i]!r} vs {bv[i]!r}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
+        else "/root/testdata/sf0.01"
+    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        import time
+
+        t0 = time.time()
+        try:
+            got = to_pandas(fn(sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows={len(got)} ({dt:.1f}s) [rows-only]")
+            continue
+        want = con.sql(oracles[name]).df()
+        problems = compare(got, want)
+        if problems:
+            failures += 1
+            print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
+        else:
+            print(f"OK   {name}: rows={len(got)} ({dt:.1f}s)")
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
