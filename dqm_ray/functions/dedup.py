@@ -109,21 +109,52 @@ class MinHashStage:
                 [("", np.uint64)] * self.rows_per_band).ravel()
             band_hash[:, bi] = pd.util.hash_array(flat)
         out_ids = np.repeat(ids, self.bands)
-        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        out_band = np.tile(np.arange(self.bands, dtype=np.uint64), n)
+        # single combined bucket key (band mixed into the hash): rare
+        # cross-band collisions only add candidate pairs, which the
+        # Jaccard verify step filters — never lose true pairs
+        bucket_key = (band_hash.ravel()
+                      + out_band * np.uint64(0x9E3779B97F4A7C15)).view(np.int64)
         # signature rides along per band row (num_perm × 8 B — compact vs
         # shipping text) so bucket groups can estimate Jaccard locally
         sig_rep = np.repeat(sigs, self.bands, axis=0)
         return pa.table({
             self.id_col: pa.array(out_ids),
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(band_hash.ravel(), pa.uint64()),
+            "bucket_key": pa.array(bucket_key, pa.int64()),
             "sig": pa.array(list(sig_rep), pa.list_(pa.uint64(), self.num_perm)),
         })
 
 
+def keep_multi_member_buckets(ds, key: str):
+    """Anti-singleton filter: count rows per bucket (compact shuffle),
+    broadcast the multi-member bucket keys, filter rows to them. This is
+    what makes bucket-grouped pair extraction scale — at realistic dup
+    rates almost every bucket is a singleton and never reaches the
+    (per-group Python) pair stage."""
+    import ray
+
+    counts = ds.groupby(key).count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["count()"], 1)),
+        batch_format="pyarrow").to_pandas()
+    hot_keys = ray.put(np.sort(hot[key].to_numpy()))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        keys = ray.get(hot_keys)
+        vals = batch.column(key).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, vals)
+        idx = np.minimum(idx, max(len(keys) - 1, 0))
+        mask = len(keys) > 0 and keys[idx] == vals
+        if isinstance(mask, bool):  # no hot buckets at all
+            return batch.slice(0, 0)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 def _pairs_from_groups(group: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    """Candidate pairs within one (band, band_hash) bucket, with
-    signature-estimated Jaccard."""
+    """Candidate pairs within one bucket, with signature-estimated
+    Jaccard."""
     g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
     if len(g) < 2:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
@@ -155,7 +186,13 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         concurrency=concurrency, num_cpus=1)
 
     import functools
-    pairs = sig_ds.groupby(["band", "band_hash"]).map_groups(
+    # signatures are consumed twice (bucket count + pair extraction):
+    # materialize the COMPACT signature rows (~(num_perm+2)×8 B/row — never
+    # the text). At extreme scale, write them to parquet instead and read
+    # twice; the content pass still happens exactly once.
+    sig_ds = sig_ds.select_columns([id_col, "bucket_key", "sig"]).materialize()
+    sig_ds = keep_multi_member_buckets(sig_ds, "bucket_key")
+    pairs = sig_ds.groupby("bucket_key").map_groups(
         functools.partial(_pairs_from_groups, id_col=id_col),
         batch_format="pandas")
     pairs_df = pairs.to_pandas()  # candidate pairs: small by construction
@@ -194,25 +231,59 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
 def simhash_batch(batch: pa.Table, *, text_col: str = "text",
                   ngram: int = 3) -> pa.Table:
-    """Append a 64-bit SimHash over word-shape tokens: sign-sum of token
-    hashes. Near-dups have small Hamming distance."""
-    import re
+    """Append a 64-bit SimHash over token n-grams: sign-sum of gram
+    hashes. Near-dups have small Hamming distance. Fully vectorized:
+    Arrow regex split → flat token hash → rolling n-gram combine →
+    reduceat over row segments."""
+    import pyarrow.compute as pc
 
-    token_re = re.compile(r"[A-Za-z0-9_]+")
-    texts = batch.column(text_col).to_pylist()
-    out = np.zeros(len(texts), dtype=np.uint64)
-    bits = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-    for i, t in enumerate(texts):
-        toks = token_re.findall(t.lower())
-        if not toks:
-            continue
-        grams = [" ".join(toks[j:j + ngram]) for j in range(max(1, len(toks) - ngram + 1))]
-        h = pd.util.hash_array(np.array(grams, dtype=object))
-        acc = np.zeros(64, dtype=np.int64)
-        hb = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
-                           bitorder="little").astype(np.int64)
-        acc = (2 * hb - 1).sum(axis=0)
-        out[i] = np.sum(bits[acc > 0], dtype=np.uint64)
+    text = batch.column(text_col).combine_chunks()
+    n = len(batch)
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9_]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    # regex split can yield empty-string tokens at row edges; hash anyway
+    # (consistent across docs, so it cancels in comparisons)
+    th = pd.util.hash_array(flat.to_numpy(zero_copy_only=False))
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+
+    # rolling n-gram hash over the FLAT token-hash array; grams that
+    # straddle row boundaries are masked out below
+    P1, P2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
+    if len(th) >= ngram:
+        g = th[: len(th) - ngram + 1] * P1
+        for j in range(1, ngram):
+            g = g + th[j: len(th) - ngram + 1 + j] * (P2 ** np.uint64(j))
+    else:
+        g = np.zeros(0, np.uint64)
+
+    gram_row = np.repeat(np.arange(n), counts)[: len(g)]
+    valid = np.zeros(len(g), dtype=bool)
+    if len(g):
+        # gram starting at flat index i is valid iff i+ngram-1 is in the
+        # same row as i
+        end_row = np.repeat(np.arange(n), counts)
+        idx = np.arange(len(g))
+        valid = end_row[np.minimum(idx + ngram - 1, len(end_row) - 1)] == gram_row
+        valid &= (idx + ngram - 1) < len(end_row)
+    gv, rows = g[valid], gram_row[valid]
+
+    out = np.zeros(n, dtype=np.uint64)
+    if len(gv):
+        bits = np.unpackbits(gv.view(np.uint8).reshape(-1, 8), axis=1,
+                             bitorder="little").astype(np.int64)
+        signed = 2 * bits - 1  # (n_grams, 64)
+        order = np.argsort(rows, kind="stable")
+        rows_s, signed_s = rows[order], signed[order]
+        starts = np.searchsorted(rows_s, np.arange(n))
+        row_has = np.bincount(rows_s, minlength=n) > 0
+        acc = np.zeros((n, 64), dtype=np.int64)
+        seg_starts = starts[row_has]
+        acc[row_has] = np.add.reduceat(signed_s, seg_starts, axis=0)
+        bitvals = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        out = ((acc > 0) * bitvals[None, :]).sum(axis=1).astype(np.uint64)
     return batch.append_column("simhash", pa.array(out, pa.uint64()))
 
 
@@ -233,15 +304,17 @@ def simhash_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text",
         parts = []
         for blk in range(4):
             block = (h >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
+            bucket_key = (block + np.uint64(blk + 1) * np.uint64(0x10000)) \
+                .view(np.int64)
             parts.append(pa.table({
                 id_col: pa.array(np.asarray(ids)),
-                "blk": pa.array(np.full(len(ids), blk, dtype=np.int32)),
-                "blk_val": pa.array(block.astype(np.int64)),
+                "bucket_key": pa.array(bucket_key, pa.int64()),
                 "simhash": pa.array(h),
             }))
         return pa.concat_tables(parts)
 
-    exploded = sh.map_batches(explode, batch_format="pyarrow")
+    exploded = sh.map_batches(explode, batch_format="pyarrow").materialize()
+    exploded = keep_multi_member_buckets(exploded, "bucket_key")
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
@@ -256,7 +329,7 @@ def simhash_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text",
         ham = np.array([bin(v).count("1") for v in x])
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "hamming": ham})
 
-    cand = exploded.groupby(["blk", "blk_val"]).map_groups(
+    cand = exploded.groupby("bucket_key").map_groups(
         pairs, batch_format="pandas").to_pandas()
     if len(cand):
         cand = cand.groupby(["id_a", "id_b"], as_index=False)["hamming"].min()

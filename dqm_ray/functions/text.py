@@ -30,13 +30,12 @@ def line_stats_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """Append n_lines / max_line_len / mean_line_len / dup_line_ratio /
     alnum_frac computed from `text_col` (shared kernel with the code
     pipeline's rules stage)."""
-    from dqm_ray.stages.rules import line_stats
+    from dqm_ray.stages.rules import ascii_class_count, line_stats
 
     text = batch.column(text_col).combine_chunks()
     stats = line_stats(text)
     tlen = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
-    alnum = pc.count_substring_regex(text, "[A-Za-z0-9]") \
-        .to_numpy(zero_copy_only=False).astype(np.int64)
+    alnum = ascii_class_count(text)
     alnum_frac = np.where(tlen > 0, alnum / np.maximum(tlen, 1), 0.0)
     out = batch
     out = out.append_column("n_lines", pa.array(stats["n_lines"], pa.int64()))

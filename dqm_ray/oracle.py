@@ -103,7 +103,7 @@ class BigramModel:
 
 def scorer_reasons(content: str, declared_lang: str, model: BigramModel,
                    cfg: QualityConfig) -> tuple[list[str], str, float]:
-    prefix = content[: cfg.analyze_prefix_chars]
+    prefix = content[: cfg.scorer_prefix_chars]
     detected = detect_lang(prefix, cfg)
     ppl = model.log_ppl(prefix)
     reasons = []

@@ -72,7 +72,7 @@ class ScorerStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         content = batch.column("content").combine_chunks()
-        prefix = pc.utf8_slice_codeunits(content, 0, cfg.analyze_prefix_chars)
+        prefix = pc.utf8_slice_codeunits(content, 0, cfg.scorer_prefix_chars)
 
         # marker-hit matrix: (n_langs, n_rows), vectorized substring counts
         n = len(batch)
