@@ -35,8 +35,9 @@ def _corpus_paths(sf_dir: str) -> list[str]:
 
     sf = os.path.basename(os.path.normpath(sf_dir))
     n = _SF_ROWS.get(sf, 2_000)
+    # enough shards that read parallelism never caps the pipeline
     return write_corpus(os.path.join(_CACHE, sf), n_rows=n, seed=42,
-                        n_shards=8)
+                        n_shards=32 if n >= 100_000 else 8)
 
 
 def _docs(sf_dir: str, columns=None):
@@ -273,6 +274,149 @@ def _q_events_hourly(sf_dir: str):
     return df
 
 
+def _q_seg_revenue(sf_dir: str):
+    """Broadcast hash join (ChannelMap-lookup analog): orders (big,
+    streamed) against customer segment lookup (small, ray.put once),
+    then partial-agg → tiny groupby."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from dqm_ray.functions.joins import broadcast_join
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, on="o_custkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue_cents"] = np.round(
+            df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        df["n_orders"] = np.int64(1)
+        g = df.groupby("c_mktsegment", as_index=False)[
+            ["n_orders", "revenue_cents"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_mktsegment").aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"))
+
+
+def _q_join_order_lines(sf_dir: str):
+    """Partitioned hash join (both sides large): lineitem ⋈ orders on
+    orderkey via explicit hash-bucket co-location, then grouped agg."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from dqm_ray.functions.joins import partitioned_hash_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+    li = li.map_batches(lambda t: t.rename_columns(["orderkey", "l_quantity"]),
+                        batch_format="pyarrow")
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["orderkey", "o_orderpriority"]),
+        batch_format="pyarrow")
+    joined = partitioned_hash_join(li, orders, on="orderkey", num_buckets=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df["n_lines"] = np.int64(1)
+        df["sum_qty"] = df["l_quantity"].astype(np.int64)
+        g = df.groupby("o_orderpriority", as_index=False)[
+            ["n_lines", "sum_qty"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("sum_qty", alias_name="sum_qty"))
+
+
+def _q_top_orders(sf_dir: str):
+    """Global distributed sort (O1 analog) + limit: top 20 orders by
+    totalprice, deterministic tie-break on orderkey."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(20).to_pandas()
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top
+
+
+def _q_union_counts(sf_dir: str):
+    """Set op: union of two filtered subsets, then grouped count."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    de = rd.read_parquet(path, columns=["lang", "source"],
+                         filter=(pads.field("lang") == "de"))
+    zh = rd.read_parquet(path, columns=["lang", "source"],
+                         filter=(pads.field("lang") == "zh"))
+    both = de.union(zh)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df["n"] = np.int64(1)
+        g = df.groupby(["lang", "source"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return both.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "source"]).aggregate(Sum("n", alias_name="n"))
+
+
+def _q_user_sessions(sf_dir: str):
+    """Sessionization (streaming-window shape): per user, count sessions
+    separated by >30 min gaps — groupby(key).map_groups over the
+    ts-sorted group (ordering assumption: ts sorted within group)."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy())
+        gaps = np.diff(ts) > np.timedelta64(30 * 60, "s")
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": np.int64(1 + gaps.sum())})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def _q_fourier_events(sf_dir: str):
+    """Per-key magnitude spectrum (Fourier-per-channel analog) over the
+    events stream: first 256 samples of `value` per event_type, ordered
+    by (ts, event_id). Oracled by numpy golden tests (DuckDB has no FFT)."""
+    import ray.data as rd
+
+    from dqm_ray.functions.spectral import fourier_by_key
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value", "event_id"])
+    out = fourier_by_key(ds, key="event_type", value_col="value",
+                         order_col="event_id", n_points=256)
+    df = out.to_pandas()
+    df["magnitude"] = np.round(df["magnitude"].to_numpy(), 6)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # similarity / dedup / langid (partly SQL-oracled)
 # ---------------------------------------------------------------------------
@@ -379,6 +523,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "q1_pricing": _q_q1_pricing,
         "events_hourly": _q_events_hourly,
+        "seg_revenue": _q_seg_revenue,
+        "join_order_lines": _q_join_order_lines,
+        "top_orders": _q_top_orders,
+        "union_counts": _q_union_counts,
+        "user_sessions": _q_user_sessions,
+        "fourier_events": _q_fourier_events,
         "knn_cosine": _q_knn_cosine,
         "nl_langid": _q_nl_langid,
         "fingerprint": _q_fingerprint,
@@ -479,6 +629,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    COUNT(*) AS n, round(SUM(value), 6) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "seg_revenue": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "join_order_lines": """
+            SELECT o_orderpriority, COUNT(*) AS n_lines,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""",
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice, rn AS rank FROM (
+              SELECT o_orderkey, o_totalprice,
+                     row_number() OVER (ORDER BY o_totalprice DESC,
+                                        o_orderkey) AS rn
+              FROM orders) WHERE rn <= 20""",
+        "union_counts": """
+            SELECT lang, source, COUNT(*) AS n FROM (
+              SELECT lang, source FROM documents WHERE lang = 'de'
+              UNION ALL
+              SELECT lang, source FROM documents WHERE lang = 'zh')
+            GROUP BY lang, source""",
+        "user_sessions": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN prev_ts IS NULL
+                                 OR ts - prev_ts > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             AS prev_ts
+                  FROM events)
+            GROUP BY user_id""",
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id < 4)

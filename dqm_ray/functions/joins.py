@@ -1,0 +1,74 @@
+"""Joins — the two shapes that matter at 100 TB (SURVEY §2.5 J1).
+
+- **Broadcast hash join** (small side ≤ GBs): ``ray.put`` the small
+  side once, map each batch against it — the ChannelMap lookup analog
+  (built once, probed by every transmit — include/dqm/ChannelMap.hpp:28-29,
+  include/dqm/ChannelStream.hpp:169-196). No shuffle at all.
+- **Partitioned hash join** (both sides large): add
+  ``bucket = hash(key) % B`` to both sides, union them with a side tag,
+  group by bucket, and join bucket-locally inside ``map_groups``. One
+  shuffle each side, skew bounded by B.
+
+``Dataset.join`` exists in recent Ray; the explicit forms below are the
+portable, skew-controllable patterns and keep the partitioning
+assumption visible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, *, on: str,
+                   how: str = "inner", batch_size: int = 8192):
+    """Join a Dataset against a driver-side small table by broadcasting
+    the small side to every task."""
+    ref = ray.put(small_df)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        small = ray.get(ref)
+        df = batch.to_pandas()
+        out = df.merge(small, on=on, how=how)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def partitioned_hash_join(left, right, *, on: str, num_buckets: int = 32,
+                          suffix: str = "_r"):
+    """Explicit partitioned hash join of two Datasets on an int64 key.
+
+    Scale note: both sides shuffle once, keyed by ``hash(key) % B``;
+    pick B ≈ cluster cores and salt hot keys upstream if a single key
+    exceeds a worker's memory.
+    """
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch.column(on).to_numpy(zero_copy_only=False)
+            bucket = (pd.util.hash_array(key.astype(np.int64))
+                      % num_buckets).astype(np.int32)
+            out = batch.append_column("__bucket", pa.array(bucket, pa.int32()))
+            return out.append_column(
+                "__side", pa.array(np.full(len(batch), side, np.int8)))
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0].drop(columns=["__side", "__bucket"])
+        r = g[g["__side"] == 1].drop(columns=["__side", "__bucket"])
+        l = l.dropna(axis=1, how="all")
+        r = r.dropna(axis=1, how="all")
+        if not len(l) or not len(r):
+            return pd.DataFrame()
+        return l.merge(r, on=on, how="inner", suffixes=("", suffix))
+
+    return both.groupby("__bucket").map_groups(join_bucket,
+                                               batch_format="pandas")

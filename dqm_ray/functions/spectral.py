@@ -1,0 +1,65 @@
+"""Spectral analysis — the direct analog of the reference's Fourier
+operators, kept as first-class capability parity:
+
+- per-key FFT  ≙ Fourier per channel (include/dqm/algs/Fourier.hpp:22-39,
+  src/algs/Fourier.cpp:38-116: buffer n_points samples → real FFT →
+  |transform|, frequencies i/(inc·N); skip keys with fewer than
+  n_points samples)
+- summed-series FFT via linearity ≙ FourierContainer per-plane/global
+  mode (include/dqm/modules/FourierContainer.hpp:136-183: per-plane sum
+  of member series, total = Σ plane transforms)
+
+Expressed Ray-Data-first: ``groupby(key).map_groups`` with a vectorized
+numpy rfft per group — the FFT itself is a per-group transform, not a
+shuffle; only the (tiny) spectra move afterwards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def fourier_by_key(ds, *, key: str, value_col: str, order_col: str,
+                   n_points: int):
+    """Per-key magnitude spectrum of the first ``n_points`` samples
+    ordered by ``order_col``. Keys with fewer than n_points samples are
+    skipped (reference semantics, src/algs/Fourier.cpp:48-52). Returns a
+    Dataset (key, freq_idx, magnitude)."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < n_points:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 "freq_idx": pd.Series(dtype="int64"),
+                                 "magnitude": pd.Series(dtype="float64")})
+        g = g.sort_values(order_col).head(n_points)
+        mag = np.abs(np.fft.rfft(g[value_col].to_numpy(dtype=np.float64)))
+        return pd.DataFrame({key: [g[key].iloc[0]] * len(mag),
+                             "freq_idx": np.arange(len(mag), dtype=np.int64),
+                             "magnitude": mag})
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def fourier_total(ds, *, key: str, value_col: str, order_col: str,
+                  n_points: int) -> pd.DataFrame:
+    """Global spectrum of the summed series = Σ of per-key complex
+    transforms (FFT linearity — FourierContainer.hpp:168-175). Each key
+    contributes its first n_points samples ordered by order_col; keys
+    with fewer are skipped, exactly as fourier_by_key."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < n_points:
+            return pd.DataFrame({"freq_idx": pd.Series(dtype="int64"),
+                                 "re": pd.Series(dtype="float64"),
+                                 "im": pd.Series(dtype="float64")})
+        g = g.sort_values(order_col).head(n_points)
+        tr = np.fft.rfft(g[value_col].to_numpy(dtype=np.float64))
+        return pd.DataFrame({"freq_idx": np.arange(len(tr), dtype=np.int64),
+                             "re": tr.real, "im": tr.imag})
+
+    parts = ds.groupby(key).map_groups(per_group, batch_format="pandas")
+    df = parts.to_pandas()  # (n_keys × n_points/2) rows — small
+    agg = df.groupby("freq_idx", as_index=False)[["re", "im"]].sum()
+    agg["magnitude"] = np.hypot(agg["re"], agg["im"])
+    return agg[["freq_idx", "magnitude"]]

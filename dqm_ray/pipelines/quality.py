@@ -74,13 +74,87 @@ def finalize_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("keep", pa.array(keep))
 
 
+class QualityStage:
+    """The whole per-row chain manually fused into one actor-pool stage:
+    normalize → partition_id → lineage → rules → scorer → finalize →
+    scrub, applied in-process per batch.
+
+    Why fused: six separate ``map_batches`` stages hand every block
+    (≈ corpus size) through the object store at each hop; fusing keeps
+    one hand-off after read and one before write, and an autoscaling
+    pool lets the executor grow workers onto all idle cores. The staged
+    variant (``fused=False``) remains for composition/debugging.
+    """
+
+    def __init__(self, cfg: QualityConfig | None = None, *,
+                 with_scorer: bool = True, ref_sha_column: str | None = None,
+                 alert_dir: str | None = None):
+        self.cfg = cfg or QualityConfig()
+        self.with_scorer = with_scorer
+        self.ref_sha_column = ref_sha_column
+        self.alert_dir = alert_dir
+        self.scorer = ScorerStage(self.cfg) if with_scorer else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from dqm_ray.stages.normalize import normalize_batch
+
+        cfg = self.cfg
+        b = normalize_batch(batch, cfg=cfg)
+        b = add_partition_id(b, num_partitions=cfg.num_partitions)
+        b = lineage_batch(b, ref_column=self.ref_sha_column,
+                          alert_dir=self.alert_dir,
+                          fail_fast=cfg.fail_fast_on_lineage)
+        b = heuristic_rules_batch(b, cfg=cfg)
+        if self.scorer is not None:
+            b = self.scorer(b)
+        b = finalize_batch(b)
+        return scrub_batch(b, cfg=cfg)
+
+
+# per-worker-process cache: stateful stage built once per worker and
+# reused by every task that lands there — actor-like amortization with
+# task-pool elasticity (workers are shared, so no pool spin-up cost and
+# the stage fuses with the read and write into single tasks)
+_STAGE_CACHE: dict = {}
+
+
+def _fused_quality_fn(batch: pa.Table, *, cfg, with_scorer,
+                      ref_sha_column, alert_dir) -> pa.Table:
+    key = (cfg, with_scorer, ref_sha_column, alert_dir)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = QualityStage(cfg, with_scorer=with_scorer,
+                             ref_sha_column=ref_sha_column,
+                             alert_dir=alert_dir)
+        _STAGE_CACHE[key] = stage
+    return stage(batch)
+
+
 def build_quality_pipeline(ds, cfg: QualityConfig | None = None, *,
                            with_scorer: bool = True,
                            ref_sha_column: str | None = None,
-                           alert_dir: str | None = None):
+                           alert_dir: str | None = None,
+                           fused: bool = True):
     """Assemble the lazy stage chain on an input Dataset with columns
-    (repo, path, commit, lang, content [, <ref_sha_column>])."""
+    (repo, path, commit, lang, content [, <ref_sha_column>]).
+
+    fused=True (default): the whole chain as ONE elastic task stage
+    (model cached per worker process); fused=False: six
+    individually-visible stages with an actor-pool scorer.
+    """
+    from dqm_ray.stages.normalize import normalize_batch
+
     cfg = cfg or QualityConfig()
+    if fused:
+        return ds.map_batches(
+            functools.partial(_fused_quality_fn, cfg=cfg,
+                              with_scorer=with_scorer,
+                              ref_sha_column=ref_sha_column,
+                              alert_dir=alert_dir),
+            batch_format="pyarrow", batch_size=cfg.rule_batch_size)
+    ds = ds.map_batches(
+        functools.partial(normalize_batch, cfg=cfg),
+        batch_format="pyarrow", batch_size=cfg.rule_batch_size)
     ds = ds.map_batches(
         functools.partial(add_partition_id, num_partitions=cfg.num_partitions),
         batch_format="pyarrow", batch_size=cfg.rule_batch_size)

@@ -1,0 +1,62 @@
+"""Named-rule / named-stage registries — the user-extension surface.
+
+Mirrors the reference's string-keyed check registry
+(``Pipeline::m_available_functions``, include/dqm/Pipeline.hpp:104-129:
+configs choose checks by name, applied in order, short-circuit on
+failure) and the AnalysisModule ABC (include/dqm/AnalysisModule.hpp:22-39).
+
+- A *rule* is ``fn(batch: pa.Table, cfg) -> np.ndarray[bool]`` (True =
+  drop, with the rule's name as the reason). Built-in rules live in
+  stages/rules.py; users register extras with ``@register_rule("name")``
+  and list them in ``QualityConfig.enabled_rules``.
+- A *stage* is ``fn(batch: pa.Table, ctx) -> pa.Table`` or a callable
+  class (actor pool). ``build_stages(names)`` resolves names for the
+  pipeline builder.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+
+RULES: dict[str, Callable] = {}
+STAGES: dict[str, Callable] = {}
+
+
+def register_rule(name: str):
+    def deco(fn):
+        RULES[name] = fn
+        return fn
+    return deco
+
+
+def register_stage(name: str):
+    def deco(fn):
+        STAGES[name] = fn
+        return fn
+    return deco
+
+
+def get_rule(name: str) -> Callable:
+    try:
+        return RULES[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown rule {name!r}; registered: {sorted(RULES)}") from None
+
+
+def get_stage(name: str) -> Callable:
+    try:
+        return STAGES[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown stage {name!r}; registered: {sorted(STAGES)}") from None
+
+
+def apply_custom_rules(batch: pa.Table, names: tuple[str, ...],
+                       cfg) -> list[tuple[str, np.ndarray]]:
+    """Evaluate registered custom rules in order → (name, drop-mask)."""
+    return [(n, np.asarray(get_rule(n)(batch, cfg), dtype=bool))
+            for n in names]

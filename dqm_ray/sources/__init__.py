@@ -1,0 +1,57 @@
+"""Sources — column-pruned, filter-pushdown readers (S1/S2 analogs:
+the reference's windowed readout request ≙ a Parquet fragment/row-group
+read scheduled by Ray's planner; SURVEY §2.1).
+
+Every reader prunes at the read: pass ``columns`` and a pyarrow dataset
+``filter`` expression so only needed columns/row groups leave storage.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def read_code_corpus(paths, *, columns=None, langs: tuple[str, ...] | None = None):
+    """Read the (repo, path, commit, lang, content) corpus with optional
+    lang row-group pushdown."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    flt = None
+    if langs is not None:
+        flt = pads.field("lang").isin(list(langs))
+    return rd.read_parquet(paths, columns=columns, filter=flt)
+
+
+def read_table(sf_dir: str, name: str, *, columns=None, filter=None):
+    """One of the benchmark tables, column-pruned."""
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=columns, filter=filter)
+
+
+def read_text_dir(path: str):
+    """Line-oriented text source (read_text) — one row per line."""
+    import ray.data as rd
+
+    return rd.read_text(path)
+
+
+def read_json_dir(path: str):
+    import ray.data as rd
+
+    return rd.read_json(path)
+
+
+def read_csv_dir(path: str):
+    import ray.data as rd
+
+    return rd.read_csv(path)
+
+
+def read_binary_dir(path: str):
+    """Opaque binary payloads (multimodal ingestion) with source paths."""
+    import ray.data as rd
+
+    return rd.read_binary_files(path, include_paths=True)

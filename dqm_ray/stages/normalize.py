@@ -1,0 +1,41 @@
+"""Normalize stage — the decode/admission step (P1 analog).
+
+Reference semantics mirrored (include/dqm/Decoder.hpp:28-70): filter
+records to supported types (here: ``allowed_langs``), drop null/absent
+payloads, cast the payload column to a canonical Arrow type
+(``large_string``), and emit per-batch admission counters that the
+metrics sink aggregates (EmptyFragments warning analog,
+include/dqm/Pipeline.hpp:28-43).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dqm_ray.config import QualityConfig
+
+REQUIRED_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def normalize_batch(batch: pa.Table, *, cfg: QualityConfig) -> pa.Table:
+    """Schema-assert + cast + admission filter. Appends nothing; rows
+    failing admission (null content, disallowed lang) are dropped here —
+    before any scoring cost is paid."""
+    missing = [c for c in REQUIRED_COLUMNS if c not in batch.column_names]
+    if missing:
+        raise ValueError(f"input batch missing required columns {missing}")
+    content = batch.column("content")
+    if not pa.types.is_large_string(content.type):
+        idx = batch.column_names.index("content")
+        batch = batch.set_column(idx, "content",
+                                 content.cast(pa.large_string()))
+        content = batch.column("content")
+    mask = pc.is_valid(content.combine_chunks())
+    if cfg.allowed_langs is not None:
+        lang_ok = pc.is_in(batch.column("lang"),
+                           value_set=pa.array(cfg.allowed_langs, pa.string()))
+        mask = pc.and_(mask, lang_ok)
+    if pc.all(mask).as_py() is not True:
+        batch = batch.filter(mask)
+    return batch

@@ -1,0 +1,142 @@
+"""Fourier operators (golden sine fixtures — the reference's
+Fourier_test_generator.py pattern), joins, registry, normalize."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _sine_events(n_keys=3, n=512, freq_bin=20):
+    """Per-key sine at a known bin → spectrum peaks exactly there
+    (filegen.py `sin` pattern analog)."""
+    rows = []
+    for k in range(n_keys):
+        t = np.arange(n)
+        val = np.sin(2 * np.pi * freq_bin * t / 256) * (k + 1)
+        rows.append(pd.DataFrame({"key": f"k{k}", "seq": t, "value": val}))
+    return pd.concat(rows, ignore_index=True)
+
+
+def test_fourier_by_key_peak(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.spectral import fourier_by_key
+
+    df = _sine_events()
+    out = fourier_by_key(rd.from_pandas(df), key="key", value_col="value",
+                         order_col="seq", n_points=256).to_pandas()
+    for k, g in out.groupby("key"):
+        peak = g.loc[g["magnitude"].idxmax(), "freq_idx"]
+        assert peak == 20
+    # vs numpy golden, element-wise
+    g0 = out[out["key"] == "k0"].sort_values("freq_idx")
+    series = df[df["key"] == "k0"].sort_values("seq")["value"].to_numpy()[:256]
+    want = np.abs(np.fft.rfft(series))
+    np.testing.assert_allclose(g0["magnitude"].to_numpy(), want, atol=1e-9)
+
+
+def test_fourier_by_key_skips_short(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.spectral import fourier_by_key
+
+    df = pd.DataFrame({"key": ["a"] * 100 + ["b"] * 300,
+                       "seq": list(range(100)) + list(range(300)),
+                       "value": np.ones(400)})
+    out = fourier_by_key(rd.from_pandas(df), key="key", value_col="value",
+                         order_col="seq", n_points=256).to_pandas()
+    assert set(out["key"]) == {"b"}  # 'a' has < n_points samples
+
+
+def test_fourier_total_linearity(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.spectral import fourier_total
+
+    df = _sine_events()
+    got = fourier_total(rd.from_pandas(df), key="key", value_col="value",
+                        order_col="seq", n_points=256)
+    # oracle: FFT of summed aligned series
+    summed = np.zeros(256)
+    for _k, g in df.groupby("key"):
+        summed += g.sort_values("seq")["value"].to_numpy()[:256]
+    want = np.abs(np.fft.rfft(summed))
+    np.testing.assert_allclose(
+        got.sort_values("freq_idx")["magnitude"].to_numpy(), want, atol=1e-9)
+
+
+def test_broadcast_join(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.joins import broadcast_join
+
+    big = pd.DataFrame({"k": np.arange(100) % 7, "v": np.arange(100)})
+    small = pd.DataFrame({"k": np.arange(7), "name": [f"n{i}" for i in range(7)]})
+    out = broadcast_join(rd.from_pandas(big).repartition(4), small,
+                         on="k").to_pandas()
+    want = big.merge(small, on="k")
+    assert len(out) == len(want)
+    assert out.sort_values(["k", "v"]).reset_index(drop=True).equals(
+        want.sort_values(["k", "v"]).reset_index(drop=True))
+
+
+def test_partitioned_hash_join(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.joins import partitioned_hash_join
+
+    l = pd.DataFrame({"key": np.arange(200) % 50, "lv": np.arange(200)})
+    r = pd.DataFrame({"key": np.arange(0, 100, 2), "rv": np.arange(50)})
+    out = partitioned_hash_join(rd.from_pandas(l).repartition(4),
+                                rd.from_pandas(r).repartition(2),
+                                on="key", num_buckets=8).to_pandas()
+    want = l.merge(r, on="key")
+    assert len(out) == len(want)
+    assert sorted(map(tuple, out[["key", "lv", "rv"]].to_numpy().tolist())) == \
+        sorted(map(tuple, want[["key", "lv", "rv"]].to_numpy().tolist()))
+
+
+def test_rule_registry(corpus_table, cfg):
+    import dataclasses
+
+    import dqm_ray.registry as reg
+    from dqm_ray.stages.rules import heuristic_rules_batch
+
+    @reg.register_rule("no_todo")
+    def no_todo(batch, _cfg):
+        import pyarrow.compute as pc
+
+        return pc.match_substring(batch.column("content"), "TODO") \
+            .to_numpy(zero_copy_only=False)
+
+    try:
+        t = pa.table({
+            "repo": ["r"], "path": ["p"], "commit": ["c"], "lang": ["python"],
+            "content": pa.array(["x = 1  # TODO fix\n"], pa.large_string()),
+        })
+        cfg2 = dataclasses.replace(cfg, custom_rules=("no_todo",))
+        out = heuristic_rules_batch(t, cfg=cfg2)
+        assert out["rule_reasons"][0].as_py() == ["no_todo"]
+        with pytest.raises(KeyError, match="unknown rule"):
+            reg.get_rule("nope")
+    finally:
+        reg.RULES.pop("no_todo", None)
+
+
+def test_normalize_stage(cfg):
+    import dataclasses
+
+    from dqm_ray.stages.normalize import normalize_batch
+
+    t = pa.table({
+        "repo": ["a", "b", "c"], "path": ["p1", "p2", "p3"],
+        "commit": ["x", "y", "z"], "lang": ["python", "cobol", "go"],
+        "content": pa.array(["ok", None, "ok"], pa.string()),
+    })
+    cfg2 = dataclasses.replace(cfg, allowed_langs=("python", "go"))
+    out = normalize_batch(t, cfg=cfg2)
+    assert out["repo"].to_pylist() == ["a", "c"]  # null content + bad lang dropped
+    assert pa.types.is_large_string(out["content"].type)
+    with pytest.raises(ValueError, match="missing required"):
+        normalize_batch(t.drop_columns(["lang"]), cfg=cfg2)
