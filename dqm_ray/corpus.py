@@ -38,7 +38,7 @@ PATTERNS: tuple[tuple[str, float], ...] = (
     ("huge", 0.02),
 )
 
-CORPUS_VERSION = 2  # bump when generation logic changes (invalidates caches)
+CORPUS_VERSION = 3  # bump when generation logic changes (invalidates caches)
 
 LANGS: tuple[str, ...] = ("python", "javascript", "c", "go", "markdown", "unknown")
 LANG_WEIGHTS = (0.30, 0.22, 0.18, 0.14, 0.10, 0.06)
@@ -233,14 +233,22 @@ def generate_corpus(n_rows: int = 2000, seed: int = 42) -> pa.Table:
     })
 
 
+def _write_shard(path: str, n_rows: int, seed: int) -> str:
+    import pyarrow.parquet as pq
+
+    pq.write_table(generate_corpus(n_rows, seed).drop_columns(["pattern"]),
+                   path)
+    return path
+
+
 def write_corpus(out_dir: str, n_rows: int = 2000, seed: int = 42,
                  n_shards: int = 4) -> list[str]:
     """Write the corpus as `n_shards` parquet files (the resumable work
     units) under ``out_dir``; returns the file paths. Idempotent for a
-    given (out_dir, n_rows, seed, n_shards)."""
+    given (out_dir, n_rows, seed, n_shards). Shards are generated
+    independently (seed = base + shard index), in parallel via Ray tasks
+    when a Ray session is active."""
     import os
-
-    import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir,
@@ -249,10 +257,25 @@ def write_corpus(out_dir: str, n_rows: int = 2000, seed: int = 42,
              for s in range(n_shards)]
     if os.path.exists(marker):
         return paths
-    table = generate_corpus(n_rows, seed).drop_columns(["pattern"])
-    per = (table.num_rows + n_shards - 1) // n_shards
-    for s, p in enumerate(paths):
-        pq.write_table(table.slice(s * per, per), p)
+    per = (n_rows + n_shards - 1) // n_shards
+    counts = [min(per, n_rows - s * per) for s in range(n_shards)]
+    use_ray = False
+    try:
+        import ray
+
+        use_ray = ray.is_initialized()
+    except ImportError:
+        pass
+    if use_ray:
+        import ray
+
+        task = ray.remote(num_cpus=1)(_write_shard)
+        ray.get([task.remote(p, c, seed + s)
+                 for s, (p, c) in enumerate(zip(paths, counts)) if c > 0])
+    else:
+        for s, (p, c) in enumerate(zip(paths, counts)):
+            if c > 0:
+                _write_shard(p, c, seed + s)
     with open(marker, "w") as f:
         f.write("ok")
     return paths

@@ -181,6 +181,81 @@ def build_quality_pipeline(ds, cfg: QualityConfig | None = None, *,
     return ds
 
 
+def _process_shard_batch(batch: pa.Table, *, out_dir: str, cfg, with_scorer,
+                         ref_sha_column, alert_dir) -> pa.Table:
+    """Filewise worker: for each input shard path row, read the shard,
+    run the full fused chain batch-wise, and write this shard's output
+    parquet directly — zero object-store traffic for content. Emits one
+    stats row per shard."""
+    import pyarrow.parquet as pq
+
+    paths = batch.column("path").to_pylist()
+    out_rows = {"shard": [], "rows": [], "kept": [], "bytes": []}
+    for path in paths:
+        table = pq.read_table(path)
+        outs = []
+        for off in range(0, table.num_rows, cfg.rule_batch_size):
+            b = table.slice(off, cfg.rule_batch_size)
+            outs.append(_fused_quality_fn(
+                b, cfg=cfg, with_scorer=with_scorer,
+                ref_sha_column=ref_sha_column, alert_dir=alert_dir))
+        result = pa.concat_tables(outs).drop_columns(
+            ["is_empty", "has_autogen"])
+        shard = os.path.basename(path).rsplit(".", 1)[0]
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = os.path.join(out_dir, f".{shard}.tmp")
+        pq.write_table(result, tmp)
+        os.replace(tmp, os.path.join(out_dir, f"{shard}.parquet"))
+        out_rows["shard"].append(shard)
+        out_rows["rows"].append(result.num_rows)
+        keep = result.column("keep").to_numpy(zero_copy_only=False)
+        out_rows["kept"].append(int(keep.sum()))
+        out_rows["bytes"].append(
+            int(pa.compute.sum(result.column("n_chars")).as_py() or 0))
+    return pa.table({k: pa.array(v) for k, v in out_rows.items()})
+
+
+def run_quality_filewise(input_paths: list[str], out_dir: str,
+                         cfg: QualityConfig | None = None, *,
+                         with_scorer: bool = True,
+                         ref_sha_column: str | None = None,
+                         resume: bool = True):
+    """Shard-parallel runner: one task per input file reads, processes
+    and writes that shard end-to-end (the reference's
+    one-window-per-thread shape, plugins/DQMProcessor.cpp:541-556, made
+    cluster-wide). No content ever enters the object store, so it scales
+    with cores/nodes until disk bandwidth. Returns the per-shard stats
+    table. Output naming is per-shard and atomic → combine with
+    Manifest for resume."""
+    import functools as _ft
+
+    import ray.data as rd
+
+    cfg = cfg or QualityConfig()
+    alert_dir = os.path.join(out_dir, "alerts")
+    if resume:
+        # a shard's output exists only if it completed (atomic rename) —
+        # the anti-join of pending inputs against finished outputs
+        data_dir = os.path.join(out_dir, "data")
+        input_paths = [
+            p for p in input_paths
+            if not os.path.exists(os.path.join(
+                data_dir,
+                os.path.basename(p).rsplit(".", 1)[0] + ".parquet"))]
+    if not input_paths:
+        import pandas as pd
+
+        return rd.from_pandas(pd.DataFrame(
+            {"shard": [], "rows": [], "kept": [], "bytes": []}))
+    ds = rd.from_items([{"path": p} for p in input_paths])
+    stats = ds.map_batches(
+        _ft.partial(_process_shard_batch, out_dir=os.path.join(out_dir, "data"),
+                    cfg=cfg, with_scorer=with_scorer,
+                    ref_sha_column=ref_sha_column, alert_dir=alert_dir),
+        batch_size=1, batch_format="pyarrow", num_cpus=1)
+    return stats
+
+
 # ---------------------------------------------------------------------------
 # metrics (opmon-counters analog, plugins/DQMProcessor.cpp:80-109):
 # per-batch partial counts keyed by partition_id, then one tiny groupby.

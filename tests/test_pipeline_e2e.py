@@ -89,3 +89,57 @@ def test_metrics_sum_to_totals(ray_session, small_cfg):
     assert 0 < m["kept"].sum() < 300
     assert (m["partition_id"] >= 0).all()
     assert m["bytes"].sum() == sum(len(c) for c in table["content"].to_pylist())
+
+
+def test_fused_equals_staged(ray_session, small_cfg):
+    """The manually-fused chain and the six-stage chain are the same
+    function of the input."""
+    import ray.data as rd
+
+    from dqm_ray.pipelines.quality import build_quality_pipeline
+
+    table = generate_corpus(200, seed=41).drop_columns(["pattern"])
+    a = build_quality_pipeline(rd.from_arrow(table), small_cfg,
+                               fused=True).to_pandas()
+    b = build_quality_pipeline(rd.from_arrow(table), small_cfg,
+                               fused=False).to_pandas()
+    key = ["repo", "path", "commit"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert sorted(a.columns) == sorted(b.columns)
+    for col in ("keep", "content", "sha256", "detected_lang", "log_ppl"):
+        assert a[col].tolist() == b[col].tolist(), col
+
+
+def test_filewise_runner_and_resume(ray_session, small_cfg, tmp_path_factory):
+    """Filewise runner: per-shard atomic outputs; rerun skips finished
+    shards; results match the Dataset-chain pipeline."""
+    import os
+
+    import ray.data as rd
+
+    from dqm_ray.pipelines.quality import run_quality_filewise
+
+    src = str(tmp_path_factory.mktemp("fw_src"))
+    out = str(tmp_path_factory.mktemp("fw_out"))
+    paths = write_corpus(src, n_rows=300, seed=19, n_shards=3)
+
+    st1 = run_quality_filewise(paths[:2], out, small_cfg).to_pandas()
+    assert st1["rows"].sum() == 200 and len(st1) == 2
+    # rerun over all 3: only the missing shard runs
+    st2 = run_quality_filewise(paths, out, small_cfg).to_pandas()
+    assert len(st2) == 1 and st2["rows"].sum() == 100
+
+    total = rd.read_parquet(os.path.join(out, "data"))
+    assert total.count() == 300
+    # equivalence with the Dataset-chain pipeline
+    from dqm_ray.pipelines.quality import build_quality_pipeline
+
+    chain = build_quality_pipeline(
+        rd.read_parquet(paths), small_cfg).to_pandas()
+    fw = total.to_pandas()
+    key = ["repo", "path", "commit"]
+    chain = chain.sort_values(key).reset_index(drop=True)
+    fw = fw.sort_values(key).reset_index(drop=True)
+    for col in ("keep", "content", "sha256"):
+        assert chain[col].tolist() == fw[col].tolist(), col
