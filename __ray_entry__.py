@@ -400,6 +400,49 @@ def _q_user_sessions(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def _q_events_sliding(sf_dir: str):
+    """Sliding window (1 h wide, 30 min hop): each event lands in exactly
+    two windows — emit both window keys per row inside map_batches, then
+    partial-agg → tiny groupby (no per-window shuffle of raw events)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w1 = pc.floor_temporal(batch.column("ts"), multiple=30, unit="minute")
+        w1 = w1.to_pandas()
+        w0 = w1 - pd.Timedelta(minutes=30)
+        et = batch.column("event_type").to_pylist()
+        df = pd.DataFrame({"event_type": et + et,
+                           "window_start": pd.concat([w1, w0],
+                                                     ignore_index=True),
+                           "n": np.int64(1)})
+        g = df.groupby(["event_type", "window_start"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "window_start"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    return out
+
+
+def _q_raw_sample(sf_dir: str):
+    """Counter/raw-display analog (A5): deterministic passthrough sample
+    of raw rows."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 100 == 0))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
 def _q_fourier_events(sf_dir: str):
     """Per-key magnitude spectrum (Fourier-per-channel analog) over the
     events stream: first 256 samples of `value` per event_type, ordered
@@ -528,6 +571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_top_orders,
         "union_counts": _q_union_counts,
         "user_sessions": _q_user_sessions,
+        "events_sliding": _q_events_sliding,
+        "raw_sample": _q_raw_sample,
         "fourier_events": _q_fourier_events,
         "knn_cosine": _q_knn_cosine,
         "nl_langid": _q_nl_langid,
@@ -652,6 +697,18 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT lang, source FROM documents WHERE lang = 'zh')
             GROUP BY lang, source""",
+        "events_sliding": """
+            SELECT event_type, window_start, COUNT(*) AS n FROM (
+              SELECT event_type,
+                     time_bucket(INTERVAL 30 MINUTE, ts) AS window_start
+              FROM events
+              UNION ALL
+              SELECT event_type,
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+              FROM events)
+            GROUP BY event_type, window_start""",
+        "raw_sample": """
+            SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0""",
         "user_sessions": """
             SELECT user_id,
                    CAST(SUM(CASE WHEN prev_ts IS NULL

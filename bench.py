@@ -93,10 +93,14 @@ def run_bench() -> dict:
     n_files = sum(pq.read_metadata(p).num_rows for p in corpus_paths)
     n_bytes = sum(os.path.getsize(p) for p in corpus_paths)
 
+    text_bytes = 0
+
     def flagship_once():
+        nonlocal text_bytes
         shutil.rmtree(out_dir, ignore_errors=True)
         st = run_quality_filewise(corpus_paths, out_dir, cfg).to_pandas()
         assert int(st["rows"].sum()) == n_files
+        text_bytes = int(st["bytes"].sum())
 
     # untimed warm-up: spawns + imports all worker processes and builds
     # the per-worker scorer model — steady-state throughput is what a
@@ -130,8 +134,9 @@ def run_bench() -> dict:
         "unit": "files/sec",
         "flagship_sec": round(flagship_sec, 3),
         "flagship_files": n_files,
-        "flagship_mb": round(n_bytes / 1e6, 1),
-        "flagship_mb_per_sec": round(n_bytes / 1e6 / flagship_sec, 1),
+        "flagship_mb_on_disk": round(n_bytes / 1e6, 1),
+        "flagship_text_mb": round(text_bytes / 1e6, 1),
+        "flagship_text_mb_per_sec": round(text_bytes / 1e6 / flagship_sec, 1),
         "total_sec": round(total, 3),
         "flagship_reps": flagship_reps,
         "queries": results,

@@ -26,13 +26,14 @@ import ray
 def broadcast_join(ds, small_df: pd.DataFrame, *, on: str,
                    how: str = "inner", batch_size: int = 8192):
     """Join a Dataset against a driver-side small table by broadcasting
-    the small side to every task."""
-    ref = ray.put(small_df)
+    the small side to every node once (per-worker cached resolve)."""
+    from dqm_ray.state import Broadcast
+
+    small = Broadcast(small_df)
 
     def probe(batch: pa.Table) -> pa.Table:
-        small = ray.get(ref)
         df = batch.to_pandas()
-        out = df.merge(small, on=on, how=how)
+        out = df.merge(small.value, on=on, how=how)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return ds.map_batches(probe, batch_format="pyarrow",

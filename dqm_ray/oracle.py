@@ -122,7 +122,10 @@ def scorer_reasons(content: str, declared_lang: str, model: BigramModel,
 def scrub_text(content: str, cfg: QualityConfig) -> str:
     out = content
     for _name, pattern, repl in cfg.scrub.patterns:
-        out = re.sub(pattern, repl, out)
+        # re.ASCII: python's unicode-aware \b disagrees with RE2's
+        # ASCII-only \b (the engine and DuckDB are both RE2 — that is
+        # the contract; found by hypothesis on '¹10.0.0.1¹')
+        out = re.sub(pattern, repl, out, flags=re.ASCII)
     return out
 
 

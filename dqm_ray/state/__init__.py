@@ -1,0 +1,12 @@
+"""Shared read-only state — the ChannelMap pattern (reference
+include/dqm/ChannelMap.hpp:28-29: built once, read by every stage) as
+broadcast objects.
+
+``Broadcast`` puts a value in the object store ONCE (driver side) and
+resolves it lazily inside each worker, caching per process — the value
+is shipped to each node once by Ray, never per task/batch.
+"""
+
+from dqm_ray.state.broadcast import Broadcast
+
+__all__ = ["Broadcast"]

@@ -1,0 +1,46 @@
+"""Broadcast read-only state for map stages.
+
+Usage::
+
+    lookup = Broadcast(big_dict)          # driver: one ray.put
+    def fn(batch):
+        d = lookup.value                   # worker: one ray.get per
+        ...                                # process (cached), zero-copy
+    ds.map_batches(fn, ...)
+
+The object travels to each node's object store once; ``.value`` inside a
+task resolves from shared memory. This is the scale-correct alternative
+to capturing a large object in the function closure (which would be
+re-pickled into every task spec).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import ray
+
+# per-worker-process resolution cache (object ref hex → value)
+_CACHE: dict[str, Any] = {}
+
+
+class Broadcast:
+    def __init__(self, value: Any):
+        self._ref = ray.put(value)
+
+    @property
+    def value(self) -> Any:
+        key = self._ref.hex()
+        if key not in _CACHE:
+            _CACHE[key] = ray.get(self._ref)
+        return _CACHE[key]
+
+    def __reduce__(self):
+        # ship only the ref; workers re-wrap it
+        return (_from_ref, (self._ref,))
+
+
+def _from_ref(ref) -> Broadcast:
+    obj = Broadcast.__new__(Broadcast)
+    obj._ref = ref
+    return obj
