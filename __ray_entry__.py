@@ -431,6 +431,16 @@ def _q_events_sliding(sf_dir: str):
     return out
 
 
+def _q_salted_group_stats(sf_dir: str):
+    """Salted two-level aggregation (explicit skew handling): count +
+    sum(n_chars) per lang, hot keys spread over 8 salted reducers then
+    merged — values identical to a plain GROUP BY."""
+    from dqm_ray.functions.skew import salted_count_sum
+
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
+    return salted_count_sum(ds, key="lang", sum_cols=("n_chars",), salt=8)
+
+
 def _q_raw_sample(sf_dir: str):
     """Counter/raw-display analog (A5): deterministic passthrough sample
     of raw rows."""
@@ -572,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_counts": _q_union_counts,
         "user_sessions": _q_user_sessions,
         "events_sliding": _q_events_sliding,
+        "salted_group_stats": _q_salted_group_stats,
         "raw_sample": _q_raw_sample,
         "fourier_events": _q_fourier_events,
         "knn_cosine": _q_knn_cosine,
@@ -707,6 +718,10 @@ def oracle_sql() -> dict[str, str]:
                      time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
               FROM events)
             GROUP BY event_type, window_start""",
+        "salted_group_stats": """
+            SELECT lang, COUNT(*) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+            FROM documents GROUP BY lang""",
         "raw_sample": """
             SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0""",
         "user_sessions": """

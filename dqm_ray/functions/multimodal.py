@@ -95,6 +95,51 @@ class MediaDecodeStage:
         })
 
 
+class FrameSampleStage:
+    """Video frame-sampling plumbing: emits ``n_frames`` rows per video
+    payload (one per sampled frame), each with a frame index and a
+    deterministic fake frame-feature (real decoder would seek+decode;
+    gated identically to MediaDecodeStage)."""
+
+    def __init__(self, *, n_frames: int = 4, strict: bool = False):
+        if strict and not _try_real_decoder():
+            raise NotImplementedError(
+                "no video codec library available; strict=False uses "
+                "deterministic fake frames")
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        media_ids, frame_idx, feats = [], [], []
+        kinds = batch.column("kind").to_pylist()
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        for mid, kind, payload in zip(ids, kinds, payloads):
+            if kind != "video":
+                continue
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            # fake "frames": equal byte slices; feature = slice mean
+            slices = np.array_split(arr, self.n_frames)
+            for fi, s in enumerate(slices):
+                media_ids.append(mid)
+                frame_idx.append(fi)
+                feats.append(float(s.mean()) if len(s) else 0.0)
+        return pa.table({
+            "media_id": pa.array(media_ids, pa.int64()),
+            "frame_idx": pa.array(frame_idx, pa.int32()),
+            "frame_feature": pa.array(feats, pa.float64()),
+        })
+
+
+def sample_frames(ds, *, n_frames: int = 4, strict: bool = False,
+                  concurrency=2, batch_size: int = 16):
+    """flat-map shape: one input video row → n_frames output rows."""
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"n_frames": n_frames, "strict": strict},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
 def decode_media(ds, *, strict: bool = False, concurrency=2,
                  batch_size: int = 32):
     """Wire the decode stage: small batches (wide binary rows), actor

@@ -1,0 +1,52 @@
+"""Skew handling — salted two-level aggregation.
+
+The reference never faces skew (fixed 256 channels/link, SURVEY §4.1);
+a source-code corpus does: repo sizes are heavy-tailed (the synthetic
+corpus makes `org0/repo0` ~30% of all rows on purpose). A plain
+``groupby(hot_key)`` would funnel a hot key's rows through one reduce
+task. The standard fix, expressed Ray-Data-first:
+
+1. salt: append ``salt = hash(row) % k`` so a hot key becomes k
+   (key, salt) sub-keys — partials of a hot key spread over k reducers;
+2. first-level aggregate over (key, salt);
+3. second-level (tiny) aggregate over key merges the k partials —
+   exactly the fill→merge split of the reference accumulators
+   (src/algs/STD.cpp:21-27), applied twice.
+
+Combined with per-batch pre-aggregation the shuffle carries one row per
+(key, salt) per batch regardless of skew.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def salted_count_sum(ds, *, key: str, sum_cols: tuple[str, ...] = (),
+                     salt: int = 8):
+    """count(*) + sums per key via salted two-level aggregation.
+    Returns a Dataset with columns (key, n, sum_<col>...)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["__salt"] = (np.arange(len(df), dtype=np.int64) % salt)
+        df["n"] = np.int64(1)
+        cols = ["n", *[f"sum_{c}" for c in sum_cols]]
+        for c in sum_cols:
+            df[f"sum_{c}"] = df[c].astype(np.int64)
+        g = df.groupby([key, "__salt"], as_index=False)[cols].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # level 1: shuffle keyed by (key, salt) — hot keys spread over `salt`
+    # reducers
+    aggs1 = [Sum("n", alias_name="n")] + [
+        Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sum_cols]
+    level1 = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([key, "__salt"]).aggregate(*aggs1)
+    # level 2: tiny merge over at most (n_keys × salt) rows
+    aggs2 = [Sum("n", alias_name="n")] + [
+        Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sum_cols]
+    return level1.groupby(key).aggregate(*aggs2)

@@ -140,3 +140,21 @@ def test_normalize_stage(cfg):
     assert pa.types.is_large_string(out["content"].type)
     with pytest.raises(ValueError, match="missing required"):
         normalize_batch(t.drop_columns(["lang"]), cfg=cfg2)
+
+
+def test_salted_groupby_matches_plain(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.skew import salted_count_sum
+
+    rng = np.random.default_rng(44)
+    # heavy skew: 70% of rows share one key
+    keys = np.where(rng.random(5000) < 0.7, "hot",
+                    rng.choice(["a", "b", "c"], 5000))
+    df = pd.DataFrame({"k": keys, "v": rng.integers(0, 100, 5000)})
+    out = salted_count_sum(rd.from_pandas(df).repartition(8),
+                           key="k", sum_cols=("v",), salt=8).to_pandas()
+    want = df.groupby("k").agg(n=("v", "size"), sum_v=("v", "sum"))
+    out = out.set_index("k").sort_index()
+    assert (out["n"] == want["n"]).all()
+    assert (out["sum_v"] == want["sum_v"]).all()

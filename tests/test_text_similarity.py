@@ -125,3 +125,23 @@ def test_media_decode_stage(ray_session):
     m1 = out.sort_values("media_id")["checksum"].tolist()
     m2 = out2.sort_values("media_id")["checksum"].tolist()
     assert m1 == m2
+
+
+def test_frame_sample_stage(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.multimodal import (sample_frames,
+                                              synthesize_media_table)
+
+    t = synthesize_media_table(48, seed=3)
+    n_videos = sum(1 for k in t["kind"].to_pylist() if k == "video")
+    out = sample_frames(rd.from_arrow(t), n_frames=4, concurrency=2) \
+        .to_pandas()
+    assert len(out) == n_videos * 4
+    assert set(out["frame_idx"]) == {0, 1, 2, 3}
+    # deterministic across runs
+    out2 = sample_frames(rd.from_arrow(t), n_frames=4, concurrency=2) \
+        .to_pandas()
+    a = out.sort_values(["media_id", "frame_idx"])["frame_feature"].tolist()
+    b = out2.sort_values(["media_id", "frame_idx"])["frame_feature"].tolist()
+    assert a == b
