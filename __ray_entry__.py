@@ -431,6 +431,30 @@ def _q_events_sliding(sf_dir: str):
     return out
 
 
+def _q_asof_prior_view(sf_dir: str):
+    """As-of join: for each 'click' event, the most recent prior 'view'
+    event of the same user (per-user co-location + merge_asof per group;
+    DuckDB ASOF JOIN oracle)."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from dqm_ray.functions.joins import asof_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    clicks = rd.read_parquet(path, columns=["event_id", "user_id", "ts"],
+                             filter=(pads.field("event_type") == "click"))
+    views = rd.read_parquet(path, columns=["event_id", "user_id", "ts",
+                                           "value"],
+                            filter=(pads.field("event_type") == "view"))
+    out = asof_join(clicks, views, by="user_id", on="ts").to_pandas()
+    res = out[["event_id", "event_id_r", "value"]].copy()
+    res["prior_event_id"] = res["event_id_r"].fillna(-1).astype(np.int64)
+    res["prior_value"] = pd.Series(
+        np.round(res["value"].to_numpy(dtype=np.float64), 6)).fillna(-1.0)
+    return res[["event_id", "prior_event_id", "prior_value"]]
+
+
 def _q_salted_group_stats(sf_dir: str):
     """Salted two-level aggregation (explicit skew handling): count +
     sum(n_chars) per lang, hot keys spread over 8 salted reducers then
@@ -582,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_counts": _q_union_counts,
         "user_sessions": _q_user_sessions,
         "events_sliding": _q_events_sliding,
+        "asof_prior_view": _q_asof_prior_view,
         "salted_group_stats": _q_salted_group_stats,
         "raw_sample": _q_raw_sample,
         "fourier_events": _q_fourier_events,
@@ -718,6 +743,13 @@ def oracle_sql() -> dict[str, str]:
                      time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
               FROM events)
             GROUP BY event_type, window_start""",
+        "asof_prior_view": """
+            SELECT l.event_id,
+                   CAST(COALESCE(r.event_id, -1) AS BIGINT) AS prior_event_id,
+                   COALESCE(round(r.value, 6), -1.0) AS prior_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "salted_group_stats": """
             SELECT lang, COUNT(*) AS n,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars

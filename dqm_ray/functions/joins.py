@@ -73,3 +73,47 @@ def partitioned_hash_join(left, right, *, on: str, num_buckets: int = 32,
 
     return both.groupby("__bucket").map_groups(join_bucket,
                                                batch_format="pandas")
+
+
+def asof_join(left, right, *, by: str, on: str, suffix: str = "_r",
+              direction: str = "backward"):
+    """As-of join: for each left row, the most recent right row with
+    ``right.on <= left.on`` within the same ``by`` key (direction
+    'backward'; pandas merge_asof semantics).
+
+    Partitioning assumption (documented per SURVEY custom-operator
+    rule): co-locate both sides by ``by`` via one union + groupby
+    shuffle, then ``merge_asof`` over the ts-sorted group. Hot ``by``
+    keys bound the per-group memory — salt upstream if a single key
+    exceeds a worker.
+    """
+
+    lcols = left.schema().names
+    rcols = right.schema().names
+    r_renamed = {c: (c + suffix if c in lcols and c not in (by, on) else c)
+                 for c in rcols}
+    r_value_cols = [r_renamed[c] for c in rcols if c not in (by, on)]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__side", pa.array(np.zeros(len(batch), np.int8)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns([r_renamed[c] for c in batch.column_names])
+        return batch.append_column(
+            "__side", pa.array(np.ones(len(batch), np.int8)))
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0][lcols]
+        r = g[g["__side"] == 1][[on, *r_value_cols]]
+        if not len(l):
+            return pd.DataFrame()
+        l = l.sort_values(on, kind="mergesort")
+        r = r.sort_values(on, kind="mergesort")
+        r[on] = r[on].astype(l[on].dtype)
+        return pd.merge_asof(l, r, on=on, direction=direction)
+
+    return both.groupby(by).map_groups(join_group, batch_format="pandas")

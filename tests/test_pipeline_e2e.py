@@ -143,3 +143,35 @@ def test_filewise_runner_and_resume(ray_session, small_cfg, tmp_path_factory):
     fw = fw.sort_values(key).reset_index(drop=True)
     for col in ("keep", "content", "sha256"):
         assert chain[col].tolist() == fw[col].tolist(), col
+
+
+def test_filewise_tamper_fails_fast(ray_session, small_cfg,
+                                    tmp_path_factory):
+    """sha256 invariant violation inside the filewise runner raises and
+    leaves the shard unrecorded (rerunnable)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from dqm_ray.stages.lineage import sha256_column
+    from dqm_ray.pipelines.quality import run_quality_filewise
+
+    src = str(tmp_path_factory.mktemp("tamper_src"))
+    out = str(tmp_path_factory.mktemp("tamper_out"))
+    t = generate_corpus(100, seed=13).drop_columns(["pattern"])
+    t = t.append_column("sha256_ref",
+                        sha256_column(t["content"].combine_chunks()))
+    c = t["content"].to_pylist()
+    c[7] += "TAMPER"
+    t = t.set_column(t.column_names.index("content"), "content",
+                     pa.array(c, pa.large_string()))
+    path = os.path.join(src, "shard0.parquet")
+    pq.write_table(t, path)
+    with _pt.raises(Exception, match="lineage|Lineage"):
+        run_quality_filewise([path], out, small_cfg,
+                             ref_sha_column="sha256_ref").to_pandas()
+    assert not glob.glob(os.path.join(out, "data", "shard0.parquet"))
+    assert glob.glob(os.path.join(out, "alerts", "alert-*.parquet"))

@@ -158,3 +158,38 @@ def test_salted_groupby_matches_plain(ray_session):
     out = out.set_index("k").sort_index()
     assert (out["n"] == want["n"]).all()
     assert (out["sum_v"] == want["sum_v"]).all()
+
+
+def test_asof_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.joins import asof_join
+
+    rng = np.random.default_rng(12)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5, 80),
+        "t": np.sort(rng.integers(0, 1000, 80)),
+        "lv": np.arange(80)})
+    right = pd.DataFrame({
+        "k": rng.integers(0, 5, 60),
+        "t": np.sort(rng.integers(0, 1000, 60)),
+        "rv": np.arange(60) * 10})
+    got = asof_join(rd.from_pandas(left).repartition(3),
+                    rd.from_pandas(right).repartition(2),
+                    by="k", on="t").to_pandas()
+    # pandas oracle, per key
+    outs = []
+    for k, lg in left.groupby("k"):
+        rg = right[right["k"] == k].drop(columns="k")
+        lg = lg.sort_values("t")
+        if len(rg):
+            outs.append(pd.merge_asof(lg, rg.sort_values("t"), on="t"))
+        else:
+            lg = lg.copy(); lg["rv"] = np.nan; outs.append(lg)
+    want = pd.concat(outs, ignore_index=True)
+    got = got.sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    want = want.sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    assert got["lv"].tolist() == want["lv"].tolist()
+    g = got["rv"].fillna(-1).tolist()
+    w = want["rv"].fillna(-1).tolist()
+    assert g == w
