@@ -342,6 +342,37 @@ def _q_join_order_lines(sf_dir: str):
             Sum("sum_qty", alias_name="sum_qty"))
 
 
+def _q_join_native(sf_dir: str):
+    """Same join as join_order_lines but through Ray Data's built-in
+    hash-partitioned ``Dataset.join`` (available in this Ray version) —
+    both the explicit bucketed pattern and the native operator are
+    supported."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, "inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df["n_lines"] = np.int64(1)
+        df["sum_qty"] = df["l_quantity"].astype(np.int64)
+        g = df.groupby("o_orderpriority", as_index=False)[
+            ["n_lines", "sum_qty"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("sum_qty", alias_name="sum_qty"))
+
+
 def _q_top_orders(sf_dir: str):
     """Global distributed sort (O1 analog) + limit: top 20 orders by
     totalprice, deterministic tie-break on orderkey."""
@@ -429,6 +460,21 @@ def _q_events_sliding(sf_dir: str):
         .aggregate(Sum("n", alias_name="n")).to_pandas()
     out["window_start"] = out["window_start"].astype("datetime64[us]")
     return out
+
+
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct users per event_type (mergeable
+    sketch — registers shuffle, never values). No SQL oracle: estimate
+    is approximate by design (±1.6% @ p=12); accuracy is asserted in
+    tests/test_aggregates.py against exact counts."""
+    import ray.data as rd
+
+    from dqm_ray.aggregates import ApproxDistinct
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return ds.groupby("event_type").aggregate(
+        ApproxDistinct("user_id", alias_name="approx_users"))
 
 
 def _q_asof_prior_view(sf_dir: str):
@@ -602,10 +648,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "seg_revenue": _q_seg_revenue,
         "join_order_lines": _q_join_order_lines,
+        "join_native": _q_join_native,
         "top_orders": _q_top_orders,
         "union_counts": _q_union_counts,
         "user_sessions": _q_user_sessions,
         "events_sliding": _q_events_sliding,
+        "approx_distinct_users": _q_approx_distinct,
         "asof_prior_view": _q_asof_prior_view,
         "salted_group_stats": _q_salted_group_stats,
         "raw_sample": _q_raw_sample,
@@ -717,6 +765,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment""",
         "join_order_lines": """
+            SELECT o_orderpriority, COUNT(*) AS n_lines,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""",
+        "join_native": """
             SELECT o_orderpriority, COUNT(*) AS n_lines,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -78,6 +78,62 @@ class StdSentinel(AggregateFnV2):
         return math.sqrt(max(var, 0.0))
 
 
+class ApproxDistinct(AggregateFnV2):
+    """HyperLogLog approximate distinct count (p → 2^p registers,
+    standard error ≈ 1.04/√(2^p); default p=12 → ~1.6%).
+
+    A mergeable sketch in the reference's accumulator algebra: per-block
+    register arrays, combine = element-wise max, finalize = bias-corrected
+    harmonic estimate with linear-counting small-range correction. The
+    shuffle moves 2^p bytes per group per block — never values."""
+
+    def __init__(self, on: str, p: int = 12, alias_name: str | None = None):
+        if not 4 <= p <= 16:
+            raise ValueError("p must be in [4, 16]")
+        self._p = p
+        self._m = 1 << p
+        super().__init__(alias_name or f"approx_distinct({on})",
+                         zero_factory=lambda: [0] * (1 << p),
+                         on=on, ignore_nulls=True)
+
+    def _registers(self, block) -> np.ndarray:
+        import pandas as pd
+        import pyarrow as pa
+
+        if isinstance(block, pa.Table):
+            vals = block.column(self._target_col_name) \
+                .to_numpy(zero_copy_only=False)
+        else:
+            vals = block[self._target_col_name].to_numpy()
+        h = pd.util.hash_array(np.asarray(vals))
+        idx = (h >> np.uint64(64 - self._p)).astype(np.int64)
+        w = h << np.uint64(self._p)
+        # rank = leading-zero count of w (within 64-p bits) + 1
+        mant, exp = np.frexp(w.astype(np.float64))
+        bitlen = np.where(w == 0, 0, exp).astype(np.int64)
+        rank = np.where(w == 0, 64 - self._p + 1, 64 - bitlen + 1) \
+            .astype(np.int64)
+        regs = np.zeros(self._m, dtype=np.int64)
+        np.maximum.at(regs, idx, rank)
+        return regs
+
+    def aggregate_block(self, block):
+        return self._registers(block).tolist()
+
+    def combine(self, a, b):
+        return np.maximum(np.asarray(a), np.asarray(b)).tolist()
+
+    def finalize(self, acc):
+        regs = np.asarray(acc, dtype=np.float64)
+        m = float(self._m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.power(2.0, -regs))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros > 0:  # linear counting
+            est = m * math.log(m / zeros)
+        return int(round(est))
+
+
 class Hist(AggregateFnV2):
     """Fixed uniform-bin histogram; under/overflow dropped. Finalizes to a
     list<int64> of per-bin counts."""

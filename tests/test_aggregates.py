@@ -92,3 +92,46 @@ def test_distributed_groupby(ray_session):
         assert out.loc[k, "std"] == pytest.approx(g["v"].std(ddof=1), rel=1e-9)
         assert out.loc[k, "rms"] == pytest.approx(
             math.sqrt((g["v"] ** 2).mean()), rel=1e-9)
+
+
+@pytest.mark.parametrize("n_distinct", [50, 5_000, 80_000])
+def test_approx_distinct_accuracy(n_distinct):
+    from dqm_ray.aggregates import ApproxDistinct
+
+    rng = np.random.default_rng(n_distinct)
+    vals = rng.integers(0, n_distinct, size=max(n_distinct * 2, 1000))
+    vals = vals + 1_000_000  # arbitrary offset
+    true = len(np.unique(vals))
+    agg = ApproxDistinct("x", p=12)
+    est = agg.finalize(agg.aggregate_block(pa.table({"x": vals})))
+    assert abs(est - true) / true < 0.05, (est, true)
+
+
+def test_approx_distinct_merge():
+    from dqm_ray.aggregates import ApproxDistinct
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 30_000, size=60_000)
+    agg = ApproxDistinct("x")
+    whole = agg.finalize(agg.aggregate_block(pa.table({"x": x})))
+    parts = np.split(x, [10_000, 25_000, 40_000])
+    merged = agg.aggregate_block(pa.table({"x": parts[0]}))
+    for p in parts[1:]:
+        merged = agg.combine(merged, agg.aggregate_block(pa.table({"x": p})))
+    assert agg.finalize(merged) == whole  # max-merge is exact vs single pass
+
+
+def test_approx_distinct_distributed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dqm_ray.aggregates import ApproxDistinct
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"k": rng.integers(0, 3, 30_000),
+                       "v": rng.integers(0, 5_000, 30_000)})
+    out = rd.from_pandas(df).repartition(8).groupby("k").aggregate(
+        ApproxDistinct("v", alias_name="nd")).to_pandas().set_index("k")
+    for k, g in df.groupby("k"):
+        true = g["v"].nunique()
+        assert abs(out.loc[k, "nd"] - true) / true < 0.05
