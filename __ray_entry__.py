@@ -180,7 +180,7 @@ def _q_token_counts(sf_dir: str):
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
-    return ds.select_columns(["doc_id", "n_tokens"])
+    return ds.select_columns(["doc_id", "n_tokens", "n_ws_tokens"])
 
 
 def _q_quality_score(sf_dir: str):
@@ -462,6 +462,44 @@ def _q_events_sliding(sf_dir: str):
     return out
 
 
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact character-5-gram Jaccard for all doc pairs with doc_id < 10
+    — distributed shingling (map_batches emits per-doc distinct shingle
+    sets), tiny driver-side pair combine. DuckDB list-comprehension
+    oracle."""
+    import itertools
+
+    import pandas as pd
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = ids < 10
+        sub = batch.filter(pa.array(mask))
+        sets = []
+        for t in sub.column("text").to_pylist():
+            k = 5
+            sh = {t[i:i + k] for i in range(max(1, len(t) - k + 1))} \
+                if len(t) >= k else {t}
+            sets.append(sorted(sh))
+        return pa.table({"doc_id": sub.column("doc_id"),
+                         "shingles": pa.array(sets,
+                                              pa.list_(pa.string()))})
+
+    rows = ds.map_batches(shingles, batch_format="pyarrow").to_pandas()
+    rows = rows.sort_values("doc_id").reset_index(drop=True)
+    out = {"id_a": [], "id_b": [], "jaccard": []}
+    sets = {r.doc_id: set(r.shingles) for r in rows.itertuples()}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        out["id_a"].append(a)
+        out["id_b"].append(b)
+        out["jaccard"].append(inter / union if union else 1.0)
+    return pd.DataFrame(out)
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog approximate distinct users per event_type (mergeable
     sketch — registers shuffle, never values). No SQL oracle: estimate
@@ -653,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_counts": _q_union_counts,
         "user_sessions": _q_user_sessions,
         "events_sliding": _q_events_sliding,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "approx_distinct_users": _q_approx_distinct,
         "asof_prior_view": _q_asof_prior_view,
         "salted_group_stats": _q_salted_group_stats,
@@ -726,7 +765,9 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
-                       AS n_tokens
+                       AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^ \t\n]+')) AS BIGINT)
+                       AS n_ws_tokens
             FROM documents""",
         "quality_score": """
             SELECT doc_id, 0.25 * (
@@ -796,6 +837,17 @@ def oracle_sql() -> dict[str, str]:
                      time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
               FROM events)
             GROUP BY event_type, window_start""",
+        "ngram_jaccard_pairs": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct([substr(text, i + 1, 5)
+                                    for i in range(greatest(length(text) - 4,
+                                                            1))]) AS sh
+              FROM documents WHERE doc_id < 10)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id""",
         "asof_prior_view": """
             SELECT l.event_id,
                    CAST(COALESCE(r.event_id, -1) AS BIGINT) AS prior_event_id,

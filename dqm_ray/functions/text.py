@@ -47,10 +47,13 @@ def line_stats_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
 
 
 def token_count_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
-    """Append n_tokens: count of ASCII word tokens (BPE-ish regex)."""
+    """Append n_tokens (BPE-ish ASCII word regex) and n_ws_tokens
+    (whitespace-separated chunks) — the two token-counting bases."""
     text = batch.column(text_col).combine_chunks()
     n = pc.count_substring_regex(text, TOKEN_RE)
-    return batch.append_column("n_tokens", n.cast(pa.int64()))
+    ws = pc.count_substring_regex(text, r"[^ \t\n]+")
+    out = batch.append_column("n_tokens", n.cast(pa.int64()))
+    return out.append_column("n_ws_tokens", ws.cast(pa.int64()))
 
 
 def nl_langid_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
