@@ -95,13 +95,34 @@ class MinHashStage:
         return minhash_signature(_char_shingle_hashes(text, self.k),
                                  self.a, self.b)
 
+    def signatures_batch(self, texts: list[str]) -> np.ndarray:
+        """Vectorized minhash for a whole batch: flat shingle hashes for
+        all docs at once, permutations applied in one matrix op,
+        per-doc minima via reduceat over doc segments."""
+        n = len(texts)
+        shingle_lists = []
+        counts = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            if len(t) < self.k:
+                sh = np.array([t], dtype=object)
+            else:
+                sh = np.array([t[j:j + self.k]
+                               for j in range(len(t) - self.k + 1)],
+                              dtype=object)
+            shingle_lists.append(sh)
+            counts[i] = len(sh)
+        flat = pd.util.hash_array(np.concatenate(shingle_lists))
+        vals = (self.a[None, :] * flat[:, None].astype(np.uint64)
+                + self.b[None, :]) % np.uint64(_MERSENNE)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        return np.minimum.reduceat(vals, starts, axis=0)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         texts = batch.column(self.text_col).to_pylist()
         n = len(texts)
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = self.signature(t)
+        sigs = self.signatures_batch(texts)
         band_views = sigs.reshape(n, self.bands, self.rows_per_band)
         band_hash = np.empty((n, self.bands), dtype=np.uint64)
         for bi in range(self.bands):

@@ -79,17 +79,39 @@ def nl_langid_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
 
 def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
                       ngram: int = 8) -> pa.Table:
-    """Append fingerprint: min 64-bit hash over character n-gram shingles
-    (rolling-hash document fingerprint; equal fingerprints ⇒ likely
-    shared content)."""
-    texts = batch.column(text_col).to_pylist()
-    out = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        if len(t) < ngram:
-            sh = [t]
+    """Append fingerprint: min 64-bit rolling hash over byte n-grams —
+    fully vectorized over the batch's raw utf8 buffer (equal
+    fingerprints ⇒ likely shared content)."""
+    from dqm_ray.stages.rules import string_buffer_view
+
+    text = batch.column(text_col).combine_chunks()
+    view = string_buffer_view(text)
+    out = np.zeros(len(batch), dtype=np.uint64)
+    if view is not None:
+        data, offs = view
+        d = data.astype(np.uint64)
+        P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+        if len(d) >= ngram:
+            g = d[: len(d) - ngram + 1] * P
+            for j in range(1, ngram):
+                g = g * P + d[j: len(d) - ngram + 1 + j]
         else:
-            sh = [t[j:j + ngram] for j in range(len(t) - ngram + 1)]
-        out[i] = pd.util.hash_array(np.array(sh, dtype=object)).min()
+            g = np.zeros(0, np.uint64)
+        # row segments over the gram array; grams straddling row
+        # boundaries are included in the earlier row — harmless for a
+        # min-fingerprint (they mix the same boundary bytes) but we mask
+        # them out anyway for exact per-row semantics
+        n = len(batch)
+        lens = np.diff(offs)
+        for i in range(n):  # n iterations over slices, not bytes
+            lo, hi = offs[i], offs[i + 1]
+            if lens[i] >= ngram:
+                seg = g[lo:hi - ngram + 1]
+            elif lens[i] > 0:
+                seg = d[lo:hi]  # short row: hash its bytes directly
+            else:
+                seg = None
+            out[i] = int(seg.min()) if seg is not None and len(seg) else 0
     return batch.append_column("fingerprint", pa.array(out, pa.uint64()))
 
 
