@@ -38,7 +38,7 @@ PATTERNS: tuple[tuple[str, float], ...] = (
     ("huge", 0.02),
 )
 
-CORPUS_VERSION = 3  # bump when generation logic changes (invalidates caches)
+CORPUS_VERSION = 4  # bump when generation logic changes (invalidates caches)
 
 LANGS: tuple[str, ...] = ("python", "javascript", "c", "go", "markdown", "unknown")
 LANG_WEIGHTS = (0.30, 0.22, 0.18, 0.14, 0.10, 0.06)
@@ -198,10 +198,13 @@ def _make_content(pattern: str, lang: str, rng: np.random.Generator) -> str:
     raise ValueError(pattern)
 
 
-def generate_corpus(n_rows: int = 2000, seed: int = 42) -> pa.Table:
+def generate_corpus(n_rows: int = 2000, seed: int = 42,
+                    row_offset: int = 0) -> pa.Table:
     """Build the synthetic corpus. Returns columns
     (repo, path, commit, lang, content, pattern); `pattern` is a
-    test-only tag — drop it before running the engine."""
+    test-only tag — drop it before running the engine. ``row_offset``
+    keeps (repo, path, commit) keys globally unique when shards are
+    generated independently."""
     rng = np.random.default_rng(seed)
     names, weights = zip(*PATTERNS)
     pat_idx = rng.choice(len(names), size=n_rows, p=np.array(weights))
@@ -209,14 +212,15 @@ def generate_corpus(n_rows: int = 2000, seed: int = 42) -> pa.Table:
     hot = rng.random(n_rows) < 0.30  # skewed hot repo (FIXTURES.md F1)
 
     repos, paths, commits, langs, contents, pats = [], [], [], [], [], []
-    for i in range(n_rows):
-        pattern = names[pat_idx[i]]
-        lang = LANGS[lang_idx[i]]
+    for local_i in range(n_rows):
+        i = local_i + row_offset
+        pattern = names[pat_idx[local_i]]
+        lang = LANGS[lang_idx[local_i]]
         if pattern in ("wrong_lang", "high_ppl"):
             lang = "python"  # declared lang; content disagrees
         elif pattern != "empty" and lang == "unknown":
             lang = "python"  # keep template-backed langs for content builders
-        repo = "org0/repo0" if hot[i] else f"org{i % 7}/repo{i % 23}"
+        repo = "org0/repo0" if hot[local_i] else f"org{i % 7}/repo{i % 23}"
         path = f"src/dir{i % 13}/file{i}.{EXTS.get(lang, 'txt')}"
         commit = hashlib.sha256(f"{repo}/{path}".encode()).hexdigest()[:40]
         content = _make_content(pattern, lang if lang in _TEMPLATES else "python", rng)
@@ -233,11 +237,13 @@ def generate_corpus(n_rows: int = 2000, seed: int = 42) -> pa.Table:
     })
 
 
-def _write_shard(path: str, n_rows: int, seed: int) -> str:
+def _write_shard(path: str, n_rows: int, seed: int, row_offset: int) -> str:
     import pyarrow.parquet as pq
 
-    pq.write_table(generate_corpus(n_rows, seed).drop_columns(["pattern"]),
-                   path)
+    pq.write_table(
+        generate_corpus(n_rows, seed,
+                        row_offset=row_offset).drop_columns(["pattern"]),
+        path)
     return path
 
 
@@ -270,12 +276,12 @@ def write_corpus(out_dir: str, n_rows: int = 2000, seed: int = 42,
         import ray
 
         task = ray.remote(num_cpus=1)(_write_shard)
-        ray.get([task.remote(p, c, seed + s)
+        ray.get([task.remote(p, c, seed + s, s * per)
                  for s, (p, c) in enumerate(zip(paths, counts)) if c > 0])
     else:
         for s, (p, c) in enumerate(zip(paths, counts)):
             if c > 0:
-                _write_shard(p, c, seed + s)
+                _write_shard(p, c, seed + s, s * per)
     with open(marker, "w") as f:
         f.write("ok")
     return paths
