@@ -16,11 +16,51 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
 import numpy as np
 import pyarrow as pa
+
+# make dqm_ray importable regardless of the caller's cwd/sys.path
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+# workers inherit PYTHONPATH only if set before ray.init; harmless later
+os.environ["PYTHONPATH"] = (
+    _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")).rstrip(os.pathsep)
+
+
+def _ensure_workers_can_import() -> None:
+    """If the driver's Ray session was started from a cwd where workers
+    cannot ``import dqm_ray`` (repo not on their path), copy the package
+    into the session cwd — workers resolve imports from their cwd, so
+    this makes shipped functions deserializable without touching the Ray
+    session. (Single-node sandbox equivalent of installing the package
+    on every node.)"""
+    try:
+        import ray
+
+        if not ray.is_initialized():
+            return
+        # lambda pickles by value — works even when workers lack dqm_ray
+        probe = ray.remote(num_cpus=0)(
+            lambda: __import__("importlib").util.find_spec("dqm_ray")
+            is not None)
+        if ray.get(probe.remote(), timeout=60):
+            return
+        import shutil
+
+        target = os.path.join(os.getcwd(), "dqm_ray")
+        src = os.path.join(_REPO_DIR, "dqm_ray")
+        if not os.path.exists(target) and os.access(os.getcwd(), os.W_OK):
+            shutil.copytree(src, target)
+    except Exception:  # noqa: BLE001 — best-effort safeguard only
+        pass
+
+
+_ensure_workers_can_import()
 
 _CACHE = "/tmp/dqm_ray_cache"
 
