@@ -160,22 +160,22 @@ def _q_grouped_stats(sf_dir: str):
     """Mean / sample-std (n<=1 → -1 sentinel) / RMS (n==0 → -1) of
     n_chars by lang — the reference's Mean/STD/RMS accumulator algebra
     (src/algs/STD.cpp:21-48, src/algs/RMS.cpp:21-42) as AggregateFnV2."""
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
     from dqm_ray.aggregates import RMS, StdSentinel
 
     ds = _docs(sf_dir, columns=["lang", "n_chars"])
     out = ds.groupby("lang").aggregate(
         Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
         StdSentinel("n_chars", alias_name="std_chars"),
         RMS("n_chars", alias_name="rms_chars"),
     )
-    # mean from exact integer sums so SQL reproduces it bitwise
-    import pandas as pd
-
-    sums = ds.groupby("lang").sum("n_chars")
-    a = out.to_pandas().merge(sums.to_pandas(), on="lang")
-    a["mean_chars"] = a["sum(n_chars)"] / a["n_docs"]
+    a = out.to_pandas()
+    # mean from exact integer sums so SQL reproduces it bitwise; std is
+    # Chan-merged (accumulation-order-sensitive) so both sides round(6)
+    a["mean_chars"] = a["sum_chars"] / a["n_docs"]
+    a["std_chars"] = a["std_chars"].round(6)
     return a[["lang", "n_docs", "mean_chars", "std_chars", "rms_chars"]]
 
 
@@ -571,7 +571,8 @@ def _q_asof_prior_view(sf_dir: str):
     views = rd.read_parquet(path, columns=["event_id", "user_id", "ts",
                                            "value"],
                             filter=(pads.field("event_type") == "view"))
-    out = asof_join(clicks, views, by="user_id", on="ts").to_pandas()
+    out = asof_join(clicks, views, by="user_id", on="ts",
+                    tiebreak="event_id").to_pandas()
     res = out[["event_id", "event_id_r", "value"]].copy()
     res["prior_event_id"] = res["event_id_r"].fillna(-1).astype(np.int64)
     res["prior_value"] = pd.Series(
@@ -778,12 +779,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_docs,
               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
               CASE WHEN COUNT(*) <= 1 THEN -1.0 ELSE
-                sqrt(greatest((CAST(SUM(n_chars*n_chars) AS DOUBLE)
-                  + COUNT(*) * (CAST(SUM(n_chars) AS DOUBLE)/COUNT(*))
-                             * (CAST(SUM(n_chars) AS DOUBLE)/COUNT(*))
-                  - 2 * (CAST(SUM(n_chars) AS DOUBLE)/COUNT(*))
-                      * CAST(SUM(n_chars) AS DOUBLE))
-                  / (COUNT(*) - 1), 0.0)) END AS std_chars,
+                round(stddev_samp(n_chars), 6) END AS std_chars,
               sqrt(CAST(SUM(n_chars*n_chars) AS DOUBLE) / COUNT(*)) AS rms_chars
             FROM documents GROUP BY lang""",
         "hist_n_chars": """
@@ -893,7 +889,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(r.event_id, -1) AS BIGINT) AS prior_event_id,
                    COALESCE(round(r.value, 6), -1.0) AS prior_value
             FROM (SELECT * FROM events WHERE event_type = 'click') l
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+            ASOF LEFT JOIN (
+              -- tie contract: max event_id among equal (user_id, ts)
+              SELECT user_id, ts, max_by(event_id, event_id) AS event_id,
+                     max_by(value, event_id) AS value
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts) r
             ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "salted_group_stats": """
             SELECT lang, COUNT(*) AS n,

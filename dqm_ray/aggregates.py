@@ -54,28 +54,49 @@ class RMS(AggregateFnV2):
 
 
 class StdSentinel(AggregateFnV2):
-    """Sample std (ddof=1) with the reference's n<=1 → -1 sentinel,
-    via the (Σx, Σx², n) algebra of src/algs/STD.cpp:21-48."""
+    """Sample std (ddof=1) with the reference's n<=1 → -1 sentinel
+    (src/algs/STD.cpp:21-48 semantics).
+
+    Accumulator is Chan's parallel (n, mean, M2) — NOT the reference's
+    (Σx, Σx², n) — because the distributed contract here additionally
+    requires merge stability across arbitrary block splits: the Σ algebra
+    cancels catastrophically when mean ≫ std (merged partials diverge from
+    single-pass beyond 1e-9; the single-threaded reference never merges so
+    it never hit this). M2 is centered per block, so the merge error stays
+    relative to the variance itself."""
 
     def __init__(self, on: str, alias_name: str | None = None):
         super().__init__(alias_name or f"std({on})",
-                         zero_factory=lambda: [0.0, 0.0, 0],
+                         zero_factory=lambda: [0, 0.0, 0.0],
                          on=on, ignore_nulls=True)
 
     def aggregate_block(self, block):
         x = _column(block, self._target_col_name)
-        return [float(x.sum()), float(np.dot(x, x)), int(x.size)]
+        n = int(x.size)
+        if n == 0:
+            return [0, 0.0, 0.0]
+        mean = float(x.mean())
+        d = x - mean
+        return [n, mean, float(np.dot(d, d))]
 
     def combine(self, a, b):
-        return [a[0] + b[0], a[1] + b[1], a[2] + b[2]]
+        na, ma, m2a = a
+        nb, mb, m2b = b
+        if na == 0:
+            return list(b)
+        if nb == 0:
+            return list(a)
+        n = na + nb
+        delta = mb - ma
+        mean = ma + delta * (nb / n)
+        m2 = m2a + m2b + delta * delta * (na * nb / n)
+        return [n, mean, m2]
 
     def finalize(self, acc):
-        s, ssq, n = acc
+        n, _mean, m2 = acc
         if n <= 1:
             return -1.0
-        mean = s / n
-        var = (ssq + n * mean * mean - 2 * mean * s) / (n - 1)
-        return math.sqrt(max(var, 0.0))
+        return math.sqrt(max(m2 / (n - 1), 0.0))
 
 
 class ApproxDistinct(AggregateFnV2):

@@ -76,10 +76,16 @@ def partitioned_hash_join(left, right, *, on: str, num_buckets: int = 32,
 
 
 def asof_join(left, right, *, by: str, on: str, suffix: str = "_r",
-              direction: str = "backward"):
+              direction: str = "backward", tiebreak: str | None = None):
     """As-of join: for each left row, the most recent right row with
     ``right.on <= left.on`` within the same ``by`` key (direction
     'backward'; pandas merge_asof semantics).
+
+    Tie contract: when several right rows share the winning ``on`` value,
+    the row with the greatest ``tiebreak`` value wins (pass the right
+    side's unique id column). Without a tiebreak, ties retain Ray's
+    nondeterministic block-arrival order — fine for analytics, NOT
+    reproducible run-to-run; always pass one when output hashes matter.
 
     Partitioning assumption (documented per SURVEY custom-operator
     rule): co-locate both sides by ``by`` via one union + groupby
@@ -93,6 +99,7 @@ def asof_join(left, right, *, by: str, on: str, suffix: str = "_r",
     r_renamed = {c: (c + suffix if c in lcols and c not in (by, on) else c)
                  for c in rcols}
     r_value_cols = [r_renamed[c] for c in rcols if c not in (by, on)]
+    tb = r_renamed.get(tiebreak, tiebreak) if tiebreak else None
 
     def tag_left(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -112,7 +119,9 @@ def asof_join(left, right, *, by: str, on: str, suffix: str = "_r",
         if not len(l):
             return pd.DataFrame()
         l = l.sort_values(on, kind="mergesort")
-        r = r.sort_values(on, kind="mergesort")
+        # sorting equal-`on` right rows ascending by tiebreak makes
+        # merge_asof (last-match-wins) pick the max-tiebreak row
+        r = r.sort_values([on, tb] if tb else on, kind="mergesort")
         r[on] = r[on].astype(l[on].dtype)
         return pd.merge_asof(l, r, on=on, direction=direction)
 
