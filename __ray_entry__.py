@@ -32,35 +32,74 @@ os.environ["PYTHONPATH"] = (
     _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")).rstrip(os.pathsep)
 
 
+def _pkg_stamp(pkg_dir: str) -> str:
+    """Content hash of the package's .py files — detects a stale copy."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for root, dirs, files in sorted(os.walk(pkg_dir)):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        for f in sorted(files):
+            if f.endswith(".py"):
+                h.update(f.encode())
+                with open(os.path.join(root, f), "rb") as fh:
+                    h.update(fh.read())
+    return h.hexdigest()
+
+
+_IMPORT_CHECKED = False
+
+
 def _ensure_workers_can_import() -> None:
     """If the driver's Ray session was started from a cwd where workers
     cannot ``import dqm_ray`` (repo not on their path), copy the package
     into the session cwd — workers resolve imports from their cwd, so
     this makes shipped functions deserializable without touching the Ray
     session. (Single-node sandbox equivalent of installing the package
-    on every node.)"""
+    on every node; a multi-node deployment would use ``ray job submit
+    --runtime-env`` with ``py_modules`` instead.)
+
+    Called from entry()/queries() — NOT at import time — and any
+    pre-existing cwd copy is content-hash-checked and refreshed, so a
+    code change never leaves workers importing a stale copy."""
+    global _IMPORT_CHECKED
+    if _IMPORT_CHECKED:
+        return
     try:
         import ray
 
         if not ray.is_initialized():
             return
+        import shutil
+
+        src = os.path.join(_REPO_DIR, "dqm_ray")
+        target = os.path.join(os.getcwd(), "dqm_ray")
+        stamp_file = os.path.join(target, ".copy_stamp")
+        # refresh a stale earlier copy BEFORE probing (the probe would
+        # find the stale copy and report success)
+        if (os.path.realpath(target) != os.path.realpath(src)
+                and os.path.isdir(target)):
+            old = ""
+            if os.path.exists(stamp_file):
+                with open(stamp_file) as fh:
+                    old = fh.read().strip()
+            if old != _pkg_stamp(src):  # missing stamp counts as stale
+                shutil.rmtree(target)
         # lambda pickles by value — works even when workers lack dqm_ray
         probe = ray.remote(num_cpus=0)(
             lambda: __import__("importlib").util.find_spec("dqm_ray")
             is not None)
         if ray.get(probe.remote(), timeout=60):
+            _IMPORT_CHECKED = True
             return
-        import shutil
-
-        target = os.path.join(os.getcwd(), "dqm_ray")
-        src = os.path.join(_REPO_DIR, "dqm_ray")
         if not os.path.exists(target) and os.access(os.getcwd(), os.W_OK):
-            shutil.copytree(src, target)
+            shutil.copytree(src, target,
+                            ignore=shutil.ignore_patterns("__pycache__"))
+            with open(os.path.join(target, ".copy_stamp"), "w") as fh:
+                fh.write(_pkg_stamp(src))
+        _IMPORT_CHECKED = True
     except Exception:  # noqa: BLE001 — best-effort safeguard only
         pass
-
-
-_ensure_workers_can_import()
 
 _CACHE = "/tmp/dqm_ray_cache"
 
@@ -93,6 +132,7 @@ def _docs(sf_dir: str, columns=None):
 
 def entry() -> Any:
     """Flagship pipeline over the sf0.001-scale synthetic code corpus."""
+    _ensure_workers_can_import()
     import ray.data as rd
 
     from dqm_ray.config import QualityConfig
@@ -712,6 +752,7 @@ def _q_media_decode(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    _ensure_workers_can_import()
     return {
         "flagship_quality": _q_flagship,
         "doc_line_stats": _q_doc_line_stats,
@@ -752,14 +793,217 @@ _NL = "chr(10)"
 _LINES = f"str_split(text, {_NL})"
 _LENS = f"list_transform({_LINES}, x -> length(x))"
 
+# ---------------------------------------------------------------------------
+# flagship oracle: the end-to-end keep/drop/detected_lang/sha256/scrubbed
+# contract re-derived in pure DuckDB SQL over the SAME cached corpus
+# shards the Ray query reads, with the char-bigram model registered as a
+# 128x128 parquet table (written once, deterministically).
+# ---------------------------------------------------------------------------
+
+_MODEL_PARQUET = os.path.join(_CACHE, "bigram_logp_v1.parquet")
+
+
+def _ensure_bigram_model_parquet() -> str:
+    """Materialize the scorer's deterministic char-bigram log-prob matrix
+    (VectorBigramModel over corpus.training_text — same seed everywhere)
+    as a (c1, c2, logp) parquet so SQL can reproduce log-perplexity."""
+    if not os.path.exists(_MODEL_PARQUET):
+        import pyarrow.parquet as pq
+
+        from dqm_ray.corpus import training_text
+        from dqm_ray.stages.scorer import VectorBigramModel
+
+        m = VectorBigramModel(training_text())
+        c1, c2 = np.meshgrid(np.arange(128), np.arange(128), indexing="ij")
+        os.makedirs(_CACHE, exist_ok=True)
+        tmp = _MODEL_PARQUET + f".tmp{os.getpid()}"
+        pq.write_table(pa.table({
+            "c1": pa.array(c1.ravel(), pa.int32()),
+            "c2": pa.array(c2.ravel(), pa.int32()),
+            "logp": pa.array(m.log_p.ravel(), pa.float64()),
+        }), tmp)
+        os.replace(tmp, _MODEL_PARQUET)
+    return _MODEL_PARQUET
+
+
+def _flagship_oracle_sql(sf: str = "sf0.01") -> str:
+    """Compose the flagship keep/drop SQL from the same QualityConfig /
+    LANG_MARKERS / AUTOGEN_MARKERS constants the Ray stages read, so the
+    two sides cannot drift. The correctness gate runs at sf0.01; the
+    corpus glob below is the deterministic cache the Ray query writes."""
+    from dqm_ray.config import AUTOGEN_MARKERS, LANG_MARKERS, QualityConfig
+
+    cfg = QualityConfig()
+    corpus_glob = os.path.join(_CACHE, sf, "code_files_*.parquet")
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+    def sq(s: str) -> str:  # SQL single-quote literal
+        return "'" + s.replace("'", "''") + "'"
+
+    # per-language marker-hit totals over the scorer prefix:
+    # count(marker) = (len(s) - len(replace(s, marker, ''))) / len(marker)
+    hit_exprs = {}
+    for lang, markers in LANG_MARKERS.items():
+        terms = [f"(length(spfx) - length(replace(spfx, {sq(m)}, '')))"
+                 f" / {len(m)}" for m in markers]
+        hit_exprs[lang] = "(" + " + ".join(terms) + ")"
+    langs = list(LANG_MARKERS.keys())
+    mx = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    # first-max-wins in LANG_MARKERS order (scorer argmax tie rule)
+    detect_case = (f"CASE WHEN {mx} < {cfg.langid_min_marker_hits} "
+                   "THEN 'unknown' "
+                   + " ".join(f"WHEN h_{l} = {mx} THEN '{l}'" for l in langs)
+                   + " END")
+    # langs without a marker profile never mismatch (scorer uses sentinel 1)
+    decl_hits = ("CASE lang "
+                 + " ".join(f"WHEN '{l}' THEN h_{l}" for l in langs)
+                 + " ELSE 1 END")
+    autogen = " OR ".join(
+        f"contains(substr(pfx, 1, {cfg.autogen_scan_chars}), {sq(m)})"
+        for m in AUTOGEN_MARKERS)
+
+    return f"""
+        WITH src AS (
+          SELECT repo, path, "commit", lang, content,
+                 substr(content, 1, {cfg.analyze_prefix_chars}) AS pfx,
+                 substr(content, 1, {cfg.scorer_prefix_chars}) AS spfx
+          FROM read_parquet('{corpus_glob}')
+          WHERE content IS NOT NULL
+        ),
+        feats AS (
+          SELECT repo, path, "commit", lang, content, spfx,
+                 length(trim(pfx, {ws})) = 0 AS is_empty,
+                 list_max(list_transform(str_split(pfx, chr(10)),
+                                         x -> length(x))) AS max_line_len,
+                 CAST(list_sum(list_transform(str_split(pfx, chr(10)),
+                                              x -> length(x))) AS DOUBLE)
+                   / len(str_split(pfx, chr(10))) AS mean_line_len,
+                 len(str_split(pfx, chr(10))) AS n_lines,
+                 1.0 - CAST(len(list_distinct(str_split(pfx, chr(10))))
+                            AS DOUBLE)
+                     / len(str_split(pfx, chr(10))) AS dup_ratio,
+                 CASE WHEN length(pfx) > 0 THEN
+                   CAST(length(regexp_replace(pfx, '[^A-Za-z0-9]', '', 'g'))
+                        AS DOUBLE) / length(pfx) ELSE 0.0 END AS alnum_frac,
+                 ({autogen}) AS has_autogen,
+                 {" , ".join(f"{hit_exprs[l]} AS h_{l}" for l in langs)},
+                 len(str_split(spfx, chr(10))) AS sp_lines,
+                 length(trim(spfx, {ws})) > 0 AS sp_nonblank
+          FROM src
+        ),
+        bg AS (
+          SELECT repo, path, "commit",
+                 least(unicode(substr(spfx, CAST(t.i AS INT), 1)), 127) AS c1,
+                 least(unicode(substr(spfx, CAST(t.i AS INT) + 1, 1)), 127) AS c2
+          FROM feats, unnest(range(1, length(spfx))) AS t(i)
+        ),
+        pplt AS (
+          SELECT repo, path, "commit",
+                 -SUM(m.logp) / COUNT(*) AS log_ppl
+          FROM bg JOIN read_parquet('{_MODEL_PARQUET}') m
+               ON bg.c1 = m.c1 AND bg.c2 = m.c2
+          GROUP BY repo, path, "commit"
+        )
+        SELECT f.repo, f.path, f."commit", f.lang,
+               NOT (f.is_empty
+                    OR f.max_line_len > {cfg.max_line_len}
+                    OR (NOT f.is_empty
+                        AND f.mean_line_len > {cfg.max_mean_line_len})
+                    OR (NOT f.is_empty AND f.alnum_frac < {cfg.min_alnum_frac})
+                    OR (f.n_lines >= {cfg.dup_min_lines}
+                        AND f.dup_ratio > {cfg.max_dup_line_ratio})
+                    OR f.has_autogen
+                    OR (({decl_hits}) = 0 AND f.sp_lines >= {cfg.langid_min_lines}
+                        AND f.sp_nonblank)
+                    OR COALESCE(p.log_ppl, 0.0) > {cfg.max_log_ppl}) AS keep,
+               {detect_case} AS detected_lang,
+               sha256(f.content) AS sha256,
+               {_SCRUB_SQL.replace("text", "f.content")} <> f.content AS scrubbed
+        FROM feats f
+        LEFT JOIN pplt p ON f.repo = p.repo AND f.path = p.path
+                        AND f."commit" = p."commit"
+    """
+
 _SCRUB_SQL = ("regexp_replace(regexp_replace(regexp_replace(text, "
               r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
               r"'\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'), "
               r"'\b(?:AKIA[0-9A-Z]{16}|ghp_[A-Za-z0-9]{36})\b', '<KEY>', 'g')")
 
 
+def _nl_langid_oracle_sql() -> str:
+    """Stopword-profile langid in SQL: non-overlapping ' word ' counts on
+    the space-padded lowercase text (replace() and Arrow count_substring
+    share left-to-right non-overlapping semantics), first-max-wins in
+    NL_STOPWORDS key order — exactly nl_langid_batch."""
+    from dqm_ray.functions.text import NL_STOPWORDS
+
+    langs = list(NL_STOPWORDS.keys())
+    hit_exprs = []
+    for lang in langs:
+        terms = [f"(length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2}"
+                 for w in NL_STOPWORDS[lang]]
+        hit_exprs.append("(" + " + ".join(terms) + f") AS h_{lang}")
+    mx = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = (f"CASE WHEN {mx} = 0 THEN 'unknown' "
+            + " ".join(f"WHEN h_{l} = {mx} THEN '{l}'" for l in langs)
+            + " END")
+    return f"""
+        SELECT doc_id, {case} AS detected_lang
+        FROM (SELECT doc_id, {", ".join(hit_exprs)}
+              FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p
+                    FROM documents))"""
+
+
+def _fingerprint_oracle_sql(ngram: int = 8) -> str:
+    """fingerprint_batch in SQL: min over byte n-grams of the rolling
+    uint64 hash g = ((b0*P)*P + b1)*P + ... (wraparound), short rows
+    (< n bytes) take the min raw byte, empty rows 0. The stepwise mod-2^64
+    wraparound equals one final mod of Σ b_j * (P^pow mod 2^64), so the
+    per-position coefficients are precomputed here with numpy uint64."""
+    P = np.uint64(0x100000001B3)
+    coef = [P ** np.uint64(ngram)] + [P ** np.uint64(ngram - 1 - j)
+                                      for j in range(1, ngram)]
+    hash_expr = " + ".join(
+        f"CAST(b{j} AS HUGEINT) * {int(c)}" for j, c in enumerate(coef))
+    leads = ", ".join(
+        f"lead(b0, {j}) OVER (PARTITION BY doc_id ORDER BY i) AS b{j}"
+        for j in range(1, ngram))
+    return f"""
+        WITH bytes AS (
+          SELECT doc_id, t.i, unicode(substr(text, CAST(t.i AS INT), 1)) AS b0
+          FROM documents, unnest(range(1, length(text) + 1)) t(i)
+        ),
+        w AS (
+          SELECT doc_id, b0, {leads},
+                 count(*) OVER (PARTITION BY doc_id) AS len
+          FROM bytes
+        ),
+        h AS (
+          SELECT doc_id,
+                 CASE WHEN max(len) >= {ngram} THEN
+                   min(CASE WHEN b{ngram - 1} IS NOT NULL THEN
+                     CAST(({hash_expr}) % 18446744073709551616 AS UBIGINT)
+                   END)
+                 ELSE min(CAST(b0 AS UBIGINT)) END AS fingerprint
+          FROM w GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(h.fingerprint, 0)::UBIGINT AS fingerprint
+        FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
+    # The flagship oracle reads the deterministic /tmp corpus cache and
+    # the bigram-model parquet; materialize both here so the SQL is
+    # runnable regardless of whether the Ray query ran first.
+    try:
+        _corpus_paths("/root/testdata/sf0.01")
+        _ensure_bigram_model_parquet()
+    except Exception:  # noqa: BLE001 — oracle strings must still return
+        pass
     return {
+        "flagship_quality": _flagship_oracle_sql("sf0.01"),
+        "nl_langid": _nl_langid_oracle_sql(),
+        "fingerprint": _fingerprint_oracle_sql(),
         "doc_line_stats": f"""
             SELECT doc_id,
               CAST(len({_LINES}) AS BIGINT) AS n_lines,

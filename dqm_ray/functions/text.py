@@ -85,8 +85,17 @@ def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
     from dqm_ray.stages.rules import string_buffer_view
 
     text = batch.column(text_col).combine_chunks()
-    view = string_buffer_view(text)
     out = np.zeros(len(batch), dtype=np.uint64)
+    valid_idx = None
+    if text.null_count:
+        # null-safe path: run the same vectorized kernel over the
+        # non-null subset, scatter back (null rows keep fingerprint 0)
+        valid = pc.is_valid(text).to_numpy(zero_copy_only=False)
+        valid_idx = np.nonzero(valid)[0]
+        text = text.take(pa.array(valid_idx, pa.int64()))
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+    view = string_buffer_view(text)
     if view is not None:
         data, offs = view
         d = data.astype(np.uint64)
@@ -101,8 +110,9 @@ def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
         # boundaries are included in the earlier row — harmless for a
         # min-fingerprint (they mix the same boundary bytes) but we mask
         # them out anyway for exact per-row semantics
-        n = len(batch)
+        n = len(text)
         lens = np.diff(offs)
+        sub = np.zeros(n, dtype=np.uint64)
         for i in range(n):  # n iterations over slices, not bytes
             lo, hi = offs[i], offs[i + 1]
             if lens[i] >= ngram:
@@ -111,7 +121,11 @@ def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
                 seg = d[lo:hi]  # short row: hash its bytes directly
             else:
                 seg = None
-            out[i] = int(seg.min()) if seg is not None and len(seg) else 0
+            sub[i] = int(seg.min()) if seg is not None and len(seg) else 0
+        if valid_idx is None:
+            out = sub
+        else:
+            out[valid_idx] = sub
     return batch.append_column("fingerprint", pa.array(out, pa.uint64()))
 
 

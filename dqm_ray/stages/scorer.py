@@ -117,5 +117,6 @@ class ScorerStage:
         out = batch.append_column("detected_lang",
                                   pa.array(detected.astype(object), pa.string()))
         out = out.append_column("log_ppl", pa.array(log_ppl, pa.float64()))
-        out = out.append_column("scorer_reasons", reasons_from_masks(masks))
+        out = out.append_column("scorer_reasons",
+                                reasons_from_masks(masks, len(batch)))
         return out

@@ -98,3 +98,15 @@ def test_partition_id_stable(corpus_table, cfg):
     assert a["partition_id"].to_pylist() == b["partition_id"].to_pylist()
     pid = np.array(a["partition_id"].to_pylist())
     assert pid.min() >= 0 and pid.max() < cfg.num_partitions
+
+
+def test_all_rules_disabled_yields_empty_reason_lists(cfg):
+    from dataclasses import replace
+
+    from dqm_ray.stages.rules import heuristic_rules_batch
+
+    bare = replace(cfg, enabled_rules=(), enabled_scorer_rules=())
+    t = pa.table({"content": pa.array(["hello", "", "x" * 50],
+                                      pa.large_string())})
+    out = heuristic_rules_batch(t, cfg=bare)
+    assert out["rule_reasons"].to_pylist() == [[], [], []]

@@ -145,3 +145,21 @@ def test_frame_sample_stage(ray_session):
     a = out.sort_values(["media_id", "frame_idx"])["frame_feature"].tolist()
     b = out2.sort_values(["media_id", "frame_idx"])["frame_feature"].tolist()
     assert a == b
+
+
+def test_fingerprint_handles_nulls():
+    import pyarrow as pa
+
+    from dqm_ray.functions.text import fingerprint_batch
+
+    texts = ["the quick brown fox jumps", None, "the quick brown fox jumps",
+             "", None, "short"]
+    t = pa.table({"text": pa.array(texts, pa.large_string())})
+    fp = fingerprint_batch(t)["fingerprint"].to_pylist()
+    dense = fingerprint_batch(pa.table({
+        "text": pa.array([s for s in texts if s is not None],
+                         pa.large_string())}))["fingerprint"].to_pylist()
+    # null rows -> 0; non-null rows identical to the null-free kernel
+    assert fp[1] == 0 and fp[4] == 0
+    assert [fp[0], fp[2], fp[3], fp[5]] == dense
+    assert fp[0] == fp[2] != 0
