@@ -243,16 +243,21 @@ def _q_exact_dedup(sf_dir: str):
 
 
 def _q_top_k_per_lang(sf_dir: str):
+    """Top-5 doc_ids per lang: per-batch partial top-5 → tiny driver
+    merge (the partial-top-k pattern; no full-language group ever
+    materializes — a single lang can be ~30% of a real corpus)."""
     import pandas as pd
 
     ds = _docs(sf_dir, columns=["lang", "doc_id"])
 
-    def head5(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").head(5).copy()
-        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def partial_top5(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("doc_id").groupby("lang").head(5)
 
-    return ds.groupby("lang").map_groups(head5, batch_format="pandas")
+    partials = ds.map_batches(partial_top5, batch_format="pandas")
+    # ≤ 5 x n_langs x n_blocks rows reach the driver
+    top = partial_top5(partials.to_pandas()).copy()
+    top["rn"] = top.groupby("lang").cumcount().astype(np.int64) + 1
+    return top.reset_index(drop=True)
 
 
 def _q_token_counts(sf_dir: str):
@@ -474,11 +479,11 @@ def _q_union_counts(sf_dir: str):
     from ray.data.aggregate import Sum
 
     path = os.path.join(sf_dir, "documents.parquet")
-    de = rd.read_parquet(path, columns=["lang", "source"],
-                         filter=(pads.field("lang") == "de"))
-    zh = rd.read_parquet(path, columns=["lang", "source"],
-                         filter=(pads.field("lang") == "zh"))
-    both = de.union(zh)
+    # ONE pruned read with an isin row filter (a union of two separate
+    # filtered reads of the same file would scan matching row groups
+    # twice); Dataset.union itself is exercised by the join operators
+    both = rd.read_parquet(path, columns=["lang", "source"],
+                           filter=(pads.field("lang").isin(["de", "zh"])))
 
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd

@@ -24,8 +24,9 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # oracle-gated queries benched over the sf tables (per-query seconds)
 BENCH_QUERIES = ["doc_line_stats", "pii_scrub", "lineage_sha256",
-                 "grouped_stats", "exact_dedup", "token_counts",
-                 "q1_pricing", "events_hourly", "knn_cosine"]
+                 "grouped_stats", "exact_dedup", "minhash_dedup",
+                 "token_counts", "q1_pricing", "events_hourly",
+                 "knn_cosine"]
 
 
 def _consume(obj) -> int:

@@ -20,12 +20,28 @@ import numpy as np
 import pandas as pd
 
 
+def _partial_min_k(key: str, order_col: str, n_points: int):
+    """Per-batch pre-limit: keep each key's n_points smallest order_col
+    rows. The global n_points smallest always survive the per-batch cut,
+    and a key with fewer than n_points total rows keeps them all — so the
+    downstream group sees ≤ n_points x n_blocks rows per key instead of
+    the whole (possibly corpus-sized) key group."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_col, kind="mergesort") \
+            .groupby(key).head(n_points)
+
+    return fn
+
+
 def fourier_by_key(ds, *, key: str, value_col: str, order_col: str,
                    n_points: int):
     """Per-key magnitude spectrum of the first ``n_points`` samples
     ordered by ``order_col``. Keys with fewer than n_points samples are
     skipped (reference semantics, src/algs/Fourier.cpp:48-52). Returns a
     Dataset (key, freq_idx, magnitude)."""
+    ds = ds.map_batches(_partial_min_k(key, order_col, n_points),
+                        batch_format="pandas")
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < n_points:
@@ -47,6 +63,8 @@ def fourier_total(ds, *, key: str, value_col: str, order_col: str,
     transforms (FFT linearity — FourierContainer.hpp:168-175). Each key
     contributes its first n_points samples ordered by order_col; keys
     with fewer are skipped, exactly as fourier_by_key."""
+    ds = ds.map_batches(_partial_min_k(key, order_col, n_points),
+                        batch_format="pandas")
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < n_points:

@@ -181,12 +181,14 @@ def build_quality_pipeline(ds, cfg: QualityConfig | None = None, *,
     return ds
 
 
-def _process_shard_batch(batch: pa.Table, *, out_dir: str, cfg, with_scorer,
-                         ref_sha_column, alert_dir) -> pa.Table:
+def _process_shard_batch(batch: pa.Table, *, out_dir: str, metrics_dir,
+                         cfg, with_scorer, ref_sha_column,
+                         alert_dir) -> pa.Table:
     """Filewise worker: for each input shard path row, read the shard,
     run the full fused chain batch-wise, and write this shard's output
     parquet directly — zero object-store traffic for content. Emits one
-    stats row per shard."""
+    stats row per shard, plus (K3 opmon parity with the resumable
+    runner) a partition-keyed metrics parquet per shard."""
     import pyarrow.parquet as pq
 
     paths = batch.column("path").to_pylist()
@@ -203,6 +205,12 @@ def _process_shard_batch(batch: pa.Table, *, out_dir: str, cfg, with_scorer,
             ["is_empty", "has_autogen"])
         shard = os.path.basename(path).rsplit(".", 1)[0]
         os.makedirs(out_dir, exist_ok=True)
+        if metrics_dir is not None:
+            # metrics BEFORE the data rename (the completion marker): a
+            # crash in between reruns the shard and overwrites them
+            os.makedirs(metrics_dir, exist_ok=True)
+            pq.write_table(metrics_partial_batch(result),
+                           os.path.join(metrics_dir, f"{shard}.parquet"))
         tmp = os.path.join(out_dir, f".{shard}.tmp")
         pq.write_table(result, tmp)
         os.replace(tmp, os.path.join(out_dir, f"{shard}.parquet"))
@@ -219,7 +227,8 @@ def run_quality_filewise(input_paths: list[str], out_dir: str,
                          cfg: QualityConfig | None = None, *,
                          with_scorer: bool = True,
                          ref_sha_column: str | None = None,
-                         resume: bool = True):
+                         resume: bool = True,
+                         write_metrics: bool = True):
     """Shard-parallel runner: one task per input file reads, processes
     and writes that shard end-to-end (the reference's
     one-window-per-thread shape, plugins/DQMProcessor.cpp:541-556, made
@@ -250,10 +259,27 @@ def run_quality_filewise(input_paths: list[str], out_dir: str,
     ds = rd.from_items([{"path": p} for p in input_paths])
     stats = ds.map_batches(
         _ft.partial(_process_shard_batch, out_dir=os.path.join(out_dir, "data"),
+                    metrics_dir=(os.path.join(out_dir, "metrics")
+                                 if write_metrics else None),
                     cfg=cfg, with_scorer=with_scorer,
                     ref_sha_column=ref_sha_column, alert_dir=alert_dir),
         batch_size=1, batch_format="pyarrow", num_cpus=1)
     return stats
+
+
+def read_partition_metrics(out_dir: str):
+    """The per-partition opmon table of a finished run — identical shape
+    for both runners: sum the per-shard/per-group partial counters under
+    ``out_dir/metrics`` by partition_id."""
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(out_dir, "metrics")
+    files = sorted(os.path.join(mdir, f) for f in os.listdir(mdir)
+                   if f.endswith(".parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    df = t.to_pandas().groupby("partition_id", as_index=False)[
+        ["rows", "kept", "scrubbed", "bytes"]].sum()
+    return df.sort_values("partition_id").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -102,3 +102,36 @@ def test_embedding_near_dup_planted(ray_session):
                              planes=6).to_pandas()
     pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy())) if len(out) else set()
     assert (0, 30) in pairs and (0, 31) in pairs
+
+
+def test_connected_components_distributed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dqm_ray.functions.dedup import connected_components
+
+    # two chains and a triangle: {1-2-3-4}, {10-11}, {20-21-22 triangle}
+    pairs = pd.DataFrame({
+        "id_a": [1, 2, 3, 10, 20, 21, 20],
+        "id_b": [2, 3, 4, 11, 21, 22, 22],
+    })
+    labels = connected_components(rd.from_pandas(pairs)).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_minhash_lsh_distributed_components_match_driver(ray_session):
+    import ray.data as rd
+
+    t = _docs_with_dups()
+    dup_drv, _ = minhash_lsh_dedup(
+        rd.from_arrow(t), threshold=0.6, concurrency=2, batch_size=16)
+    dup_dist, _ = minhash_lsh_dedup(
+        rd.from_arrow(t), threshold=0.6, concurrency=2, batch_size=16,
+        cc_pair_threshold=0)  # force the distributed path
+    a = sorted(zip(dup_drv["doc_id"].to_pylist(),
+                   dup_drv["dup_group"].to_pylist()))
+    b = sorted(zip(dup_dist["doc_id"].to_pylist(),
+                   dup_dist["dup_group"].to_pylist()))
+    assert a == b and len(a) > 0

@@ -175,3 +175,24 @@ def test_filewise_tamper_fails_fast(ray_session, small_cfg,
                              ref_sha_column="sha256_ref").to_pandas()
     assert not glob.glob(os.path.join(out, "data", "shard0.parquet"))
     assert glob.glob(os.path.join(out, "alerts", "alert-*.parquet"))
+
+
+def test_filewise_metrics_match_pipeline_runner(ray_session, small_cfg,
+                                                tmp_path):
+    """K3 opmon parity: the fast filewise runner and the resumable
+    group runner report the SAME per-partition metrics table."""
+    from dqm_ray.corpus import write_corpus
+    from dqm_ray.pipelines.quality import (read_partition_metrics,
+                                           run_quality_filewise,
+                                           run_quality_pipeline)
+
+    paths = write_corpus(str(tmp_path / "src"), n_rows=400, seed=11,
+                         n_shards=4)
+    run_quality_filewise(paths, str(tmp_path / "fw"), small_cfg) \
+        .materialize()
+    run_quality_pipeline(paths, str(tmp_path / "gr"), small_cfg,
+                         group_size=2)
+    a = read_partition_metrics(str(tmp_path / "fw"))
+    b = read_partition_metrics(str(tmp_path / "gr"))
+    assert a.to_dict("records") == b.to_dict("records")
+    assert a["rows"].sum() == 400
