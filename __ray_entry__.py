@@ -708,7 +708,7 @@ def _q_minhash_dedup(sf_dir: str):
     from dqm_ray.functions.dedup import minhash_lsh_dedup
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    dup_table, _pairs = minhash_lsh_dedup(ds, threshold=0.8, concurrency=2)
+    dup_table, _pairs = minhash_lsh_dedup(ds, threshold=0.8)
     return dup_table
 
 

@@ -81,6 +81,10 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 
 _MERSENNE = (1 << 61) - 1
 
+# 8-bit popcount lookup (vectorized Hamming distance)
+_POPCOUNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                          axis=1).sum(axis=1).astype(np.int64)
+
 
 def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
@@ -237,6 +241,20 @@ class MinHashStage:
         })
 
 
+_MINHASH_CACHE: dict = {}
+
+
+def _minhash_sig_fn(batch: pa.Table, **params) -> pa.Table:
+    """Task-pool twin of MinHashStage: stage built once per worker
+    process (keyed by params), reused by every task landing there."""
+    key = tuple(sorted(params.items()))
+    stage = _MINHASH_CACHE.get(key)
+    if stage is None:
+        stage = MinHashStage(**params)
+        _MINHASH_CACHE[key] = stage
+    return stage(batch)
+
+
 def keep_multi_member_buckets(ds, key: str):
     """Anti-singleton filter: count rows per bucket (compact shuffle),
     broadcast the multi-member bucket keys, filter rows to them. This is
@@ -266,17 +284,70 @@ def keep_multi_member_buckets(ds, key: str):
 
 def _pairs_from_groups(group: pd.DataFrame, id_col: str) -> pd.DataFrame:
     """Candidate pairs within one bucket, with signature-estimated
-    Jaccard."""
+    Jaccard.
+
+    Docs with IDENTICAL signatures (exact/near-exact dups — the common
+    case in a big bucket) are collapsed: a star to the group's min id
+    (est 1.0) plus all-pairs among the unique-signature representatives.
+    Connected components over this sparser pair set are exactly those of
+    the full O(m^2) clique (any member reaches other groups through its
+    representative, whose signature — hence estimate — is identical), so
+    a 10k-copy bucket emits ~10k pairs instead of ~50M."""
     g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-    if len(g) < 2:
+    a, b, e = _bucket_pairs(g[id_col].to_numpy(),
+                            np.stack(g["sig"].to_numpy()))
+    return pd.DataFrame({"id_a": a, "id_b": b, "est_jaccard": e})
+
+
+def _bucket_pairs(ids: np.ndarray, sigs: np.ndarray):
+    """Star + representative pairs for one bucket (ids ascending)."""
+    nothing = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+               np.zeros(0, np.float64))
+    if len(ids) < 2:
+        return nothing
+    uniq, first, inv = np.unique(sigs, axis=0, return_index=True,
+                                 return_inverse=True)
+    rep = ids[first]  # ids ascending → first occurrence = min id of group
+    star_mask = np.arange(len(ids)) != first[inv]
+    sa, sb = rep[inv][star_mask], ids[star_mask]
+    se = np.ones(len(sa), np.float64)
+    if len(uniq) >= 2:
+        ia, ib = np.triu_indices(len(uniq), k=1)
+        est = (uniq[ia] == uniq[ib]).mean(axis=1)
+        ra, rb = rep[ia], rep[ib]
+        return (np.concatenate([sa, np.minimum(ra, rb)]),
+                np.concatenate([sb, np.maximum(ra, rb)]),
+                np.concatenate([se, est]))
+    return sa, sb, se
+
+
+def _pairs_from_part(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Candidate pairs for a whole HASH-PART of buckets in one call —
+    many tiny bucket groups per map_groups invocation instead of one
+    (per-group dispatch over 10k+ tiny groups is the documented
+    many-tiny-groups pathology). Inside: one sort, contiguous numpy
+    slices per bucket."""
+    df = df.drop_duplicates(subset=["bucket_key", id_col]) \
+        .sort_values(["bucket_key", id_col])
+    ids_all = df[id_col].to_numpy()
+    bk = df["bucket_key"].to_numpy()
+    out_a, out_b, out_e = [], [], []
+    if len(df):
+        sig_all = np.stack(df["sig"].to_numpy())
+        bounds = np.nonzero(np.concatenate(
+            ([True], bk[1:] != bk[:-1], [True])))[0]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            a, b, est = _bucket_pairs(ids_all[s:e], sig_all[s:e])
+            out_a.append(a); out_b.append(b); out_e.append(est)
+    if not out_a:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                              "id_b": pd.Series(dtype="int64"),
                              "est_jaccard": pd.Series(dtype="float64")})
-    ids = g[id_col].to_numpy()
-    sigs = np.stack(g["sig"].to_numpy())
-    ia, ib = np.triu_indices(len(ids), k=1)
-    est = (sigs[ia] == sigs[ib]).mean(axis=1)
-    return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "est_jaccard": est})
+    return pd.DataFrame({"id_a": np.concatenate(out_a),
+                         "id_b": np.concatenate(out_b),
+                         "est_jaccard": np.concatenate(out_e)})
 
 
 def connected_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
@@ -343,7 +414,7 @@ def connected_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
 
 def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
-                      threshold: float = 0.8, concurrency=2,
+                      threshold: float = 0.8, concurrency=None,
                       batch_size: int = 512,
                       cc_pair_threshold: int = 2_000_000):
     """Near-dup detection: shingle → minhash → band → bucket groupby →
@@ -357,13 +428,18 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     Returns (dup_table, pairs): dup_table maps id → group representative
     (min id of its component); only ids in some near-dup component appear.
     """
+    import functools
+
+    # elastic task pool with a per-worker-process stage cache (the same
+    # amortization as an actor pool — permutation tables built once per
+    # worker — without fixed-pool spin-up or sizing; `concurrency`
+    # optionally caps it)
+    params = dict(id_col=id_col, text_col=text_col, num_perm=num_perm,
+                  bands=bands, shingle_k=shingle_k)
     sig_ds = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
-                                   num_perm=num_perm, bands=bands,
-                                   shingle_k=shingle_k),
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        functools.partial(_minhash_sig_fn, **params),
+        batch_format="pyarrow", batch_size=batch_size, num_cpus=1,
+        **({"concurrency": concurrency} if concurrency else {}))
 
     import functools
     # signatures are consumed twice (bucket count + pair extraction):
@@ -372,9 +448,19 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     # twice; the content pass still happens exactly once.
     sig_ds = sig_ds.select_columns([id_col, "bucket_key", "sig"]).materialize()
     sig_ds = keep_multi_member_buckets(sig_ds, "bucket_key")
-    pairs = sig_ds.groupby("bucket_key").map_groups(
-        functools.partial(_pairs_from_groups, id_col=id_col),
-        batch_format="pandas")
+    def add_part(batch: pa.Table, n_parts: int = 64) -> pa.Table:
+        k = batch.column("bucket_key").to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(k.astype(np.int64))
+                % n_parts).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    # co-locate buckets by hash-part (64 groups), extract pairs for a
+    # whole part per call — same shuffle volume, none of the per-tiny-
+    # group dispatch cost
+    pairs = sig_ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            functools.partial(_pairs_from_part, id_col=id_col),
+            batch_format="pandas")
     # signature-estimated Jaccard is a pure function of the pair, so the
     # same pair surfacing from several bands carries the same estimate —
     # filter before any dedup/collect
@@ -514,21 +600,46 @@ def simhash_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text",
     exploded = sh.map_batches(explode, batch_format="pyarrow").materialize()
     exploded = keep_multi_member_buckets(exploded, "bucket_key")
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        if len(g) < 2:
+    def add_part(batch: pa.Table, n_parts: int = 64) -> pa.Table:
+        k = batch.column("bucket_key").to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(k.astype(np.int64))
+                % n_parts).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def pairs_part(df: pd.DataFrame) -> pd.DataFrame:
+        """All candidate pairs for a hash-part of buckets in one call
+        (per-tiny-group map_groups dispatch is the documented
+        pathology); per-bucket work is contiguous numpy slices."""
+        df = df.drop_duplicates(subset=["bucket_key", id_col]) \
+            .sort_values(["bucket_key", id_col])
+        ids_all = df[id_col].to_numpy()
+        h_all = df["simhash"].to_numpy().astype(np.uint64)
+        bk = df["bucket_key"].to_numpy()
+        out_a, out_b, out_h = [], [], []
+        if len(df):
+            bounds = np.nonzero(np.concatenate(
+                ([True], bk[1:] != bk[:-1], [True])))[0]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if e - s < 2:
+                    continue
+                ids, h = ids_all[s:e], h_all[s:e]
+                ia, ib = np.triu_indices(len(ids), k=1)
+                x = h[ia] ^ h[ib]
+                # vectorized popcount via 8-bit lookup over the bytes
+                ham = _POPCOUNT[x.view(np.uint8).reshape(len(x), 8)] \
+                    .sum(axis=1).astype(np.int64)
+                out_a.append(ids[ia]); out_b.append(ids[ib]); out_h.append(ham)
+        if not out_a:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64"),
                                  "hamming": pd.Series(dtype="int64")})
-        ids = g[id_col].to_numpy()
-        h = g["simhash"].to_numpy().astype(np.uint64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = (h[ia] ^ h[ib])
-        ham = np.array([bin(v).count("1") for v in x])
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "hamming": ham})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
 
-    cand = exploded.groupby("bucket_key").map_groups(
-        pairs, batch_format="pandas").to_pandas()
+    cand = exploded.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(pairs_part,
+                                    batch_format="pandas").to_pandas()
     if len(cand):
         cand = cand.groupby(["id_a", "id_b"], as_index=False)["hamming"].min()
         cand = cand[cand["hamming"] <= max_hamming]

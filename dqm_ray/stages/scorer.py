@@ -64,7 +64,13 @@ class ScorerStage:
         from dqm_ray.corpus import training_text
 
         self.cfg = cfg or QualityConfig()
-        # once-per-actor state (T1 analog): bigram model + marker tables
+        # once-per-actor state (T1 analog): bigram model + marker tables.
+        # Model source precedence: explicit text > external artifact file
+        # (cfg.model_path — the ChannelMapFiller external-fill analog) >
+        # deterministic built-in corpus.
+        if model_text is None and self.cfg.model_path is not None:
+            with open(self.cfg.model_path, encoding="utf-8") as fh:
+                model_text = fh.read()
         self.model = VectorBigramModel(model_text or training_text())
         self.lang_names = list(LANG_MARKERS.keys())
         self.lang_index = {l: i for i, l in enumerate(self.lang_names)}

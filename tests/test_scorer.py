@@ -61,3 +61,42 @@ def test_separation_margin(corpus_table, cfg, stage):
     soup = ppl[[i for i, p in enumerate(pats) if p == "high_ppl"]]
     assert clean.max() < cfg.max_log_ppl - 0.2
     assert soup.min() > cfg.max_log_ppl + 0.2
+
+
+def test_external_model_artifact_injection(ray_session, tmp_path):
+    """Dropping in an external model artifact (a file the actor loads
+    once in __init__) changes scoring end-to-end — the ChannelMapFiller
+    external-fill analog. A real fastText/KenLM binary would occupy the
+    same cfg.model_path slot."""
+    from dataclasses import replace
+
+    import ray.data as rd
+
+    from dqm_ray.config import QualityConfig
+    from dqm_ray.corpus import generate_corpus
+    from dqm_ray.pipelines.quality import build_quality_pipeline
+    from dqm_ray.stages.scorer import ScorerStage
+
+    # artifact trained on pathological text: real code should look
+    # high-perplexity under it
+    artifact = tmp_path / "model.txt"
+    artifact.write_text("zq xv qz vx " * 2000)
+    cfg = QualityConfig(model_path=str(artifact), scorer_concurrency=2)
+
+    table = generate_corpus(150, seed=23).drop_columns(["pattern"])
+    base = build_quality_pipeline(
+        rd.from_arrow(table), QualityConfig(scorer_concurrency=2)).to_pandas()
+    injected = build_quality_pipeline(rd.from_arrow(table), cfg).to_pandas()
+    key = ["repo", "path", "commit"]
+    base = base.sort_values(key).reset_index(drop=True)
+    injected = injected.sort_values(key).reset_index(drop=True)
+    # scoring actually used the artifact: perplexities shift up en masse
+    # (empty/short docs score 0 under either model, so not 100%)
+    assert (injected["log_ppl"] > base["log_ppl"]).mean() > 0.75
+    assert injected["log_ppl"].mean() > base["log_ppl"].mean() + 1.0
+    assert injected["keep"].sum() < base["keep"].sum()
+    # direct stage check: file-loaded model == same text passed inline
+    st_file = ScorerStage(cfg)
+    st_text = ScorerStage(replace(cfg, model_path=None),
+                          model_text=artifact.read_text())
+    assert np.allclose(st_file.model.log_p, st_text.model.log_p)
