@@ -649,8 +649,9 @@ def _q_raw_sample(sf_dir: str):
 
 def _q_fourier_events(sf_dir: str):
     """Per-key magnitude spectrum (Fourier-per-channel analog) over the
-    events stream: first 256 samples of `value` per event_type, ordered
-    by (ts, event_id). Oracled by numpy golden tests (DuckDB has no FFT)."""
+    events stream: first 256 samples of `value` per event_type ordered
+    by event_id. SQL oracle = O(n^2) DFT, magnitudes round(6) both
+    sides; numpy golden tests cover the FFT kernel itself."""
     import ray.data as rd
 
     from dqm_ray.functions.spectral import fourier_by_key
@@ -935,6 +936,348 @@ _SCRUB_SQL = ("regexp_replace(regexp_replace(regexp_replace(text, "
               r"'\b(?:AKIA[0-9A-Z]{16}|ghp_[A-Za-z0-9]{36})\b', '<KEY>', 'g')")
 
 
+def _sql_mulmod64(expr: str, const: int) -> str:
+    """SQL for (expr * const) mod 2^64 without exceeding HUGEINT range:
+    split expr into 32-bit halves so every product stays < 2^96."""
+    M = 1 << 64
+    return (f"((CAST(({expr}) >> 32 AS HUGEINT) * {(const << 32) % M} "
+            f"+ CAST(({expr}) & 4294967295 AS HUGEINT) * {const}) % {M})")
+
+
+_POLY_POWERS_PARQUET = os.path.join(_CACHE, "poly_powers_v1.parquet")
+
+
+def _ensure_poly_powers_parquet() -> str:
+    """(m, P^m mod 2^64) lookup for variable-length polynomial hashes in
+    SQL (token hashes of any length up to 1024 bytes)."""
+    if not os.path.exists(_POLY_POWERS_PARQUET):
+        import pyarrow.parquet as pq
+
+        from dqm_ray.functions.dedup import _POLY_P
+
+        P, M = int(_POLY_P), 1 << 64
+        mm = np.arange(1024)
+        os.makedirs(_CACHE, exist_ok=True)
+        tmp = _POLY_POWERS_PARQUET + f".tmp{os.getpid()}"
+        pq.write_table(pa.table({
+            "m": pa.array(mm, pa.int64()),
+            "c": pa.array(np.array([pow(P, int(m), M) for m in mm],
+                                   dtype=np.uint64), pa.uint64()),
+        }), tmp)
+        os.replace(tmp, _POLY_POWERS_PARQUET)
+    return _POLY_POWERS_PARQUET
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """simhash_candidates re-derived in SQL: regex token split (RE2 both
+    sides, identical empty-token semantics) → per-token polynomial byte
+    hash (powers table) → token-trigram combine (32-bit-split mulmod) →
+    per-bit sign sums → 64-bit simhash → 16-bit-block buckets → pairs
+    with bit_count(xor) ≤ max_hamming. Bitwise-identical to the Ray
+    kernel."""
+    M = 1 << 64
+    P1, P2 = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
+    C = [P1, P2, (P2 * P2) % M]
+    return f"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, t.i AS tok_i, arr[CAST(t.i AS INT)] AS tok
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(lower(text),
+                                             '[^a-z0-9_]+') AS arr
+                FROM documents),
+               unnest(range(1, len(arr)+1)) t(i)
+        ),
+        th AS MATERIALIZED (
+          SELECT tb.doc_id, tb.tok_i,
+                 CAST(SUM((CAST(tb.b AS HUGEINT) * pw.c) % {M}) % {M}
+                      AS UBIGINT) AS h
+          FROM (SELECT doc_id, tok_i, length(tok) AS tl, p.i AS pos,
+                       unicode(substr(tok, CAST(p.i AS INT), 1)) AS b
+                FROM toks, unnest(range(1, length(tok)+1)) p(i)) tb
+          JOIN read_parquet('{_POLY_POWERS_PARQUET}') pw
+            ON pw.m = tb.tl - tb.pos
+          GROUP BY tb.doc_id, tb.tok_i
+          UNION ALL
+          SELECT doc_id, tok_i, 0 FROM toks WHERE length(tok) = 0
+        ),
+        lagged AS (
+          SELECT doc_id, h,
+                 lead(h,1) OVER win AS h1, lead(h,2) OVER win AS h2
+          FROM th WINDOW win AS (PARTITION BY doc_id ORDER BY tok_i)
+        ),
+        grams AS MATERIALIZED (
+          SELECT doc_id,
+            CAST(({_sql_mulmod64('h', C[0])} + {_sql_mulmod64('h1', C[1])}
+                  + {_sql_mulmod64('h2', C[2])}) % {M} AS UBIGINT) AS g
+          FROM lagged WHERE h2 IS NOT NULL
+        ),
+        bits AS (
+          SELECT doc_id, b.b AS bit,
+                 SUM(CASE WHEN (g >> CAST(b.b AS INT)) & 1 = 1
+                     THEN 1 ELSE -1 END) AS acc
+          FROM grams, unnest(range(0, 64)) b(b)
+          GROUP BY doc_id, b.b
+        ),
+        sh AS MATERIALIZED (
+          SELECT d.doc_id, COALESCE(s.v, 0)::UBIGINT AS simhash
+          FROM documents d LEFT JOIN (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN acc > 0
+                            THEN CAST(1 AS HUGEINT) << CAST(bit AS INT)
+                            ELSE 0 END) AS UBIGINT) AS v
+            FROM bits GROUP BY doc_id) s ON d.doc_id = s.doc_id
+        ),
+        buck AS (
+          SELECT doc_id, simhash, blk.k AS blk,
+                 (simhash >> CAST(16*blk.k AS INT)) & 65535 AS block
+          FROM sh, unnest(range(0, 4)) blk(k)
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                 bit_count(xor(x.simhash, y.simhash)) AS hamming
+          FROM buck x JOIN buck y
+            ON x.blk = y.blk AND x.block = y.block AND x.doc_id < y.doc_id
+        )
+        SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        FROM cand WHERE hamming <= {max_hamming}"""
+
+
+_MINHASH_PERMS_PARQUET = os.path.join(_CACHE, "minhash_perms_v1.parquet")
+
+
+def _ensure_minhash_perms_parquet() -> str:
+    """Materialize the minhash permutation constants (seed 7 — identical
+    in every worker) as a (j, a, b) parquet for the SQL oracle."""
+    if not os.path.exists(_MINHASH_PERMS_PARQUET):
+        import pyarrow.parquet as pq
+
+        from dqm_ray.functions.dedup import _perm_params
+
+        a, b = _perm_params(64, seed=7)
+        os.makedirs(_CACHE, exist_ok=True)
+        tmp = _MINHASH_PERMS_PARQUET + f".tmp{os.getpid()}"
+        pq.write_table(pa.table({
+            "j": pa.array(np.arange(64, dtype=np.int64)),
+            "a": pa.array(a, pa.uint64()),
+            "b": pa.array(b, pa.uint64()),
+        }), tmp)
+        os.replace(tmp, _MINHASH_PERMS_PARQUET)
+    return _MINHASH_PERMS_PARQUET
+
+
+def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, k: int = 5,
+                        threshold: float = 0.8) -> str:
+    """The ENTIRE MinHash+LSH dedup chain re-derived in SQL: byte
+    k-gram rolling hashes → per-permutation minima (permutation table
+    registered as parquet) → per-band polynomial hashes → bucket keys →
+    candidate pairs → signature-Jaccard filter → connected components as
+    a recursive transitive closure with min-label. Every mod-2^64
+    wraparound is reproduced with HUGEINT arithmetic (32-bit-split
+    products where a full 64x64 multiply could exceed 2^127), so the
+    result is bitwise-identical to the Ray path, not approximate."""
+    from dqm_ray.functions.dedup import _POLY_P
+
+    P, M = int(_POLY_P), 1 << 64
+    GOLD = 0x9E3779B97F4A7C15
+    rpb = num_perm // bands
+    c = [pow(P, m, M) for m in range(max(k, rpb))]
+    gram_expr = " + ".join(
+        f"(CAST(b{j} AS HUGEINT) * {c[k - 1 - j]}) % {M}" for j in range(k))
+    leads = ", ".join(f"lead(b0, {j}) OVER win AS b{j}" for j in range(1, k))
+    short_coef = " ".join(f"WHEN {m} THEN {c[m]}" for m in range(k - 1))
+    # band-hash term s*c mod 2^64 via 32-bit split (s_hi*(c<<32) + s_lo*c)
+    cases_hi = " ".join(f"WHEN {r} THEN {(c[rpb - 1 - r] << 32) % M}"
+                        for r in range(rpb - 1)) + f" ELSE {(1 << 32) % M} END"
+    cases_lo = " ".join(f"WHEN {r} THEN {c[rpb - 1 - r]}"
+                        for r in range(rpb - 1)) + " ELSE 1 END"
+    bh_term = (f"((CAST(s >> 32 AS HUGEINT) * (CASE j % {rpb} {cases_hi}) "
+               f"+ CAST(s & 4294967295 AS HUGEINT) * "
+               f"(CASE j % {rpb} {cases_lo})) % {M})")
+    return f"""
+        WITH RECURSIVE bytes AS MATERIALIZED (
+          SELECT doc_id, t.i, length(text) AS L,
+                 unicode(substr(text, CAST(t.i AS INT), 1)) AS b0
+          FROM documents, unnest(range(1, length(text)+1)) t(i)
+        ),
+        w AS (
+          SELECT doc_id, i, L, b0, {leads}
+          FROM bytes WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        ),
+        grams AS MATERIALIZED (
+          SELECT DISTINCT doc_id, CAST(({gram_expr}) % {M} AS UBIGINT) AS gram
+          FROM w WHERE L >= {k} AND i <= L - {k} + 1
+          UNION
+          SELECT doc_id, CAST(SUM((CAST(b0 AS HUGEINT) *
+                   (CASE L - i {short_coef} END)) % {M}) % {M} AS UBIGINT)
+          FROM bytes WHERE L < {k} GROUP BY doc_id
+          UNION
+          SELECT doc_id, 0 FROM documents WHERE length(text) = 0
+        ),
+        sigv AS MATERIALIZED (
+          SELECT g.doc_id, p.j,
+                 min(CAST((CAST(p.a AS HUGEINT) * g.gram + p.b) % {M}
+                          AS UBIGINT)) AS s
+          FROM grams g
+          CROSS JOIN read_parquet('{_MINHASH_PERMS_PARQUET}') p
+          GROUP BY g.doc_id, p.j
+        ),
+        bandh AS (
+          SELECT doc_id, CAST(j // {rpb} AS INT) AS band,
+                 CAST(SUM({bh_term}) % {M} AS UBIGINT) AS bh
+          FROM sigv GROUP BY doc_id, CAST(j // {rpb} AS INT)
+        ),
+        buck AS MATERIALIZED (
+          SELECT doc_id,
+            CAST((CAST(bh AS HUGEINT) + CAST(band AS HUGEINT) * {GOLD}) % {M}
+                 AS UBIGINT) AS bucket_key
+          FROM bandh
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM buck x JOIN buck y
+            ON x.bucket_key = y.bucket_key AND x.doc_id < y.doc_id
+        ),
+        est AS (
+          SELECT cd.id_a, cd.id_b,
+                 SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END)
+                   / {float(num_perm)} AS e
+          FROM cand cd
+          JOIN sigv sa ON sa.doc_id = cd.id_a
+          JOIN sigv sb ON sb.doc_id = cd.id_b AND sb.j = sa.j
+          GROUP BY cd.id_a, cd.id_b
+        ),
+        edges AS MATERIALIZED (
+          SELECT id_a, id_b FROM est WHERE e >= {threshold}),
+        nodes AS (SELECT id_a AS n FROM edges UNION SELECT id_b FROM edges),
+        ud AS (SELECT id_a AS u, id_b AS v FROM edges
+               UNION SELECT id_b, id_a FROM edges),
+        reach(n, r) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT ud.u, reach.r FROM ud JOIN reach ON ud.v = reach.n
+        )
+        SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS dup_group
+        FROM reach GROUP BY n"""
+
+
+_EMB_PLANES_PARQUET = os.path.join(_CACHE, "emb_planes_v1.parquet")
+
+
+def _ensure_emb_planes_parquet() -> str:
+    """Materialize the LSH random hyperplanes (seed 13, same rng as
+    embedding_near_dup's bucketize) as a (d, p, v) parquet."""
+    if not os.path.exists(_EMB_PLANES_PARQUET):
+        import pyarrow.parquet as pq
+
+        first = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                              columns=["embedding"]).column("embedding")[0]
+        n_dim = len(first)
+        rng = np.random.default_rng(13)
+        h = rng.standard_normal((n_dim, 4))
+        d_idx, p_idx = np.meshgrid(np.arange(1, n_dim + 1), np.arange(4),
+                                   indexing="ij")
+        os.makedirs(_CACHE, exist_ok=True)
+        tmp = _EMB_PLANES_PARQUET + f".tmp{os.getpid()}"
+        pq.write_table(pa.table({
+            "d": pa.array(d_idx.ravel(), pa.int32()),
+            "p": pa.array(p_idx.ravel(), pa.int32()),
+            "v": pa.array(h.ravel(), pa.float64()),
+        }), tmp)
+        os.replace(tmp, _EMB_PLANES_PARQUET)
+    return _EMB_PLANES_PARQUET
+
+
+def _embedding_near_dup_oracle_sql(threshold: float = 0.25) -> str:
+    """Sign-bucket LSH + exact cosine verify in SQL: per-vector dot with
+    each registered hyperplane → sign-bit bucket; pairs within a bucket
+    with cosine ≥ threshold (filtered unrounded, output round(6) —
+    matching the Ray side's rounding; sign/threshold compares are robust
+    to the float-sum-order difference, the rounded cosine is exact)."""
+    return f"""
+        WITH comp AS (
+          SELECT e.vec_id, h.p,
+                 SUM(CAST(e.embedding[CAST(h.d AS INT)] AS DOUBLE) * h.v)
+                   AS dot
+          FROM embeddings e
+          JOIN read_parquet('{_EMB_PLANES_PARQUET}') h ON true
+          GROUP BY e.vec_id, h.p
+        ),
+        b AS (
+          SELECT vec_id,
+                 SUM(CASE WHEN dot > 0 THEN CAST(1 << p AS BIGINT)
+                     ELSE 0 END) AS bucket
+          FROM comp GROUP BY vec_id
+        ),
+        pairs AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                 list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])) AS sim
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          JOIN embeddings ea ON ea.vec_id = x.vec_id
+          JOIN embeddings eb ON eb.vec_id = y.vec_id
+        )
+        SELECT id_a, id_b, round(sim, 6) AS cosine
+        FROM pairs WHERE sim >= {threshold}"""
+
+
+_MEDIA_SRC_PARQUET = os.path.join(_CACHE, "media_src_v1.parquet")
+
+
+def _ensure_media_src_parquet() -> str:
+    """Materialize the deterministic synthesized media table (seed 21 —
+    the same table _q_media_decode builds in-process) so SQL can verify
+    the decode stage's metadata output."""
+    if not os.path.exists(_MEDIA_SRC_PARQUET):
+        import pyarrow.parquet as pq
+
+        from dqm_ray.functions.multimodal import synthesize_media_table
+
+        os.makedirs(_CACHE, exist_ok=True)
+        tmp = _MEDIA_SRC_PARQUET + f".tmp{os.getpid()}"
+        pq.write_table(synthesize_media_table(n_rows=64, seed=21), tmp)
+        os.replace(tmp, _MEDIA_SRC_PARQUET)
+    return _MEDIA_SRC_PARQUET
+
+
+def _media_decode_oracle_sql() -> str:
+    """decode_media's metadata contract in SQL over the registered
+    synthesized payload table: byte length + sha256 of the uppercase-hex
+    payload encoding (DuckDB's sha256 takes VARCHAR; hex() is uppercase,
+    matching the stage's checksum definition)."""
+    return f"""
+        SELECT media_id, kind,
+               octet_length(payload) AS n_bytes,
+               substr(sha256(hex(payload)), 1, 16) AS checksum
+        FROM read_parquet('{_MEDIA_SRC_PARQUET}')"""
+
+
+def _fourier_events_oracle_sql(n_points: int = 256) -> str:
+    """fourier_by_key in SQL as an O(n^2) DFT: re/im sums against exact
+    cos/sin twiddles per (key, freq). numpy's FFT and the naive sum
+    differ only by accumulation order (~1e-12 absolute here), so both
+    sides round magnitudes to 6 decimals — the comparison is exact."""
+    half = n_points // 2 + 1
+    return f"""
+        WITH s AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY event_id) - 1 AS j,
+                 count(*) OVER (PARTITION BY event_type) AS cnt
+          FROM events
+          QUALIFY j < {n_points} AND cnt >= {n_points}
+        ),
+        f AS (
+          SELECT event_type, k.k AS freq_idx,
+                 SUM(value * cos(2*pi()*j*k.k/{n_points}.0)) AS re,
+                 SUM(value * sin(2*pi()*j*k.k/{n_points}.0)) AS im
+          FROM s, unnest(range(0, {half})) k(k)
+          GROUP BY event_type, k.k
+        )
+        SELECT event_type, CAST(freq_idx AS BIGINT) AS freq_idx,
+               round(sqrt(re*re + im*im), 6) AS magnitude
+        FROM f"""
+
+
 def _nl_langid_oracle_sql() -> str:
     """Stopword-profile langid in SQL: non-overlapping ' word ' counts on
     the space-padded lowercase text (replace() and Arrow count_substring
@@ -1003,12 +1346,21 @@ def oracle_sql() -> dict[str, str]:
     try:
         _corpus_paths("/root/testdata/sf0.01")
         _ensure_bigram_model_parquet()
+        _ensure_minhash_perms_parquet()
+        _ensure_emb_planes_parquet()
+        _ensure_media_src_parquet()
+        _ensure_poly_powers_parquet()
     except Exception:  # noqa: BLE001 — oracle strings must still return
         pass
     return {
         "flagship_quality": _flagship_oracle_sql("sf0.01"),
         "nl_langid": _nl_langid_oracle_sql(),
         "fingerprint": _fingerprint_oracle_sql(),
+        "minhash_dedup": _minhash_oracle_sql(),
+        "embedding_near_dup": _embedding_near_dup_oracle_sql(),
+        "media_decode": _media_decode_oracle_sql(),
+        "fourier_events": _fourier_events_oracle_sql(),
+        "simhash_pairs": _simhash_oracle_sql(),
         "doc_line_stats": f"""
             SELECT doc_id,
               CAST(len({_LINES}) AS BIGINT) AS n_lines,

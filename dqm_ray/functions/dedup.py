@@ -219,11 +219,12 @@ class MinHashStage:
         sigs = self.signatures_batch(
             batch.column(self.text_col).combine_chunks())
         band_views = sigs.reshape(n, self.bands, self.rows_per_band)
-        band_hash = np.empty((n, self.bands), dtype=np.uint64)
-        for bi in range(self.bands):
-            flat = np.ascontiguousarray(band_views[:, bi, :]).view(
-                [("", np.uint64)] * self.rows_per_band).ravel()
-            band_hash[:, bi] = pd.util.hash_array(flat)
+        # band hash = polynomial combine of the band's signature rows
+        # (uint64 wraparound) — SQL-expressible, so the DuckDB oracle can
+        # reproduce the exact bucketing
+        band_hash = band_views[:, :, 0].copy()
+        for r in range(1, self.rows_per_band):
+            band_hash = band_hash * _POLY_P + band_views[:, :, r]
         out_ids = np.repeat(ids, self.bands)
         out_band = np.tile(np.arange(self.bands, dtype=np.uint64), n)
         # single combined bucket key (band mixed into the hash): rare
@@ -513,6 +514,32 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+def _token_poly_hashes(flat: pa.Array) -> np.ndarray:
+    """Per-token polynomial byte hash (h = h*P + byte, uint64 wrap) over
+    the flat token array's raw buffer — vectorized by byte POSITION
+    (iterations = max token length, not token count), and the same
+    SQL-expressible family as the k-gram kernel, so the DuckDB oracle
+    reproduces simhash bitwise. Empty tokens hash to 0."""
+    from dqm_ray.stages.rules import string_buffer_view
+
+    n = len(flat)
+    view = string_buffer_view(flat) if n else None
+    if view is None:
+        return np.array([
+            _poly_hash(np.frombuffer((t or "").encode(), np.uint8))
+            for t in flat.to_pylist()], dtype=np.uint64) \
+            if n else np.zeros(0, np.uint64)
+    data, offs = view
+    d = data.astype(np.uint64)
+    lens = np.diff(offs)
+    starts = offs[:-1]
+    h = np.zeros(n, dtype=np.uint64)
+    for step in range(int(lens.max()) if n else 0):
+        m = lens > step
+        h[m] = h[m] * _POLY_P + d[starts[m] + step]
+    return h
+
+
 def simhash_batch(batch: pa.Table, *, text_col: str = "text",
                   ngram: int = 3) -> pa.Table:
     """Append a 64-bit SimHash over token n-grams: sign-sum of gram
@@ -529,7 +556,7 @@ def simhash_batch(batch: pa.Table, *, text_col: str = "text",
     flat = toks.flatten()
     # regex split can yield empty-string tokens at row edges; hash anyway
     # (consistent across docs, so it cancels in comparisons)
-    th = pd.util.hash_array(flat.to_numpy(zero_copy_only=False))
+    th = _token_poly_hashes(flat)
     offsets = np.asarray(toks.offsets, dtype=np.int64)
     counts = np.diff(offsets)
 

@@ -84,7 +84,11 @@ class MediaDecodeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         feats = np.stack([self._fake_features(p) for p in payloads])
-        checks = [hashlib.sha256(p).hexdigest()[:16] for p in payloads]
+        # checksum over the UPPERCASE-HEX encoding of the payload (not
+        # the raw bytes): same integrity property, and computable by SQL
+        # engines whose sha256 takes strings only (sha256(hex(payload)))
+        checks = [hashlib.sha256(p.hex().upper().encode()).hexdigest()[:16]
+                  for p in payloads]
         return pa.table({
             "media_id": batch.column("media_id"),
             "kind": batch.column("kind"),
