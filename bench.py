@@ -160,7 +160,11 @@ def run_scaling() -> dict:
                                                    "2400000"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
-                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        if out.returncode != 0:
+            sys.stderr.write(f"--- sub-run ncpu={ncpu} failed ---\n"
+                             + out.stderr[-4000:] + "\n")
+            raise RuntimeError(f"bench sub-run at {ncpu} cpus failed")
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     # interleave the two levels over several rounds and take the best

@@ -43,13 +43,34 @@ class VectorBigramModel:
         return np.minimum(cp, 127).astype(np.int64)
 
     def log_ppl_many(self, texts: list[str]) -> np.ndarray:
-        out = np.zeros(len(texts), dtype=np.float64)
-        for i, t in enumerate(texts):
-            ids = self._ids(t)
-            if len(ids) < 2:
-                continue
-            out[i] = -self.log_p[ids[:-1], ids[1:]].sum() / (len(ids) - 1)
-        return out
+        """Batch log-perplexity: ONE utf-32 encode of the concatenated
+        texts + one fancy-index + segment reduceat (the per-doc python
+        loop was the scorer's second-largest cost). Bigrams straddling
+        doc boundaries are zeroed before the segment sums."""
+        n = len(texts)
+        if n == 0:
+            return np.zeros(0, dtype=np.float64)
+        ids = self._ids("".join(texts))
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        out = np.zeros(n, dtype=np.float64)
+        if len(ids) < 2:
+            return out
+        lp = self.log_p[ids[:-1], ids[1:]]
+        straddle = offs[1:-1] - 1          # gram between doc i and i+1
+        lp[straddle[(straddle >= 0) & (straddle < len(lp))]] = 0.0
+        counts = np.maximum(lens - 1, 0)
+        sums = np.zeros(n, dtype=np.float64)
+        nonempty = lens > 0                # zero-width docs break reduceat
+        starts = offs[:-1][nonempty]
+        if starts.size:
+            valid = starts < len(lp)       # trailing docs may have no grams
+            seg = np.zeros(int(nonempty.sum()), dtype=np.float64)
+            if valid.any():
+                seg[valid] = np.add.reduceat(lp, starts[valid])
+            sums[nonempty] = seg
+        return np.where(counts > 0, -sums / np.maximum(counts, 1), 0.0)
 
 
 class ScorerStage:
@@ -74,19 +95,27 @@ class ScorerStage:
         self.model = VectorBigramModel(model_text or training_text())
         self.lang_names = list(LANG_MARKERS.keys())
         self.lang_index = {l: i for i, l in enumerate(self.lang_names)}
+        # one RE2 alternation per lang instead of one scan per marker
+        # (2.7x fewer passes over the prefix bytes). Valid because no
+        # marker is a suffix-prefix overlap of another within a lang, so
+        # non-overlapping alternation count == sum of per-marker counts
+        # (the oracle SQL keeps the per-marker formulation).
+        import re as _re
+
+        self.lang_patterns = ["|".join(_re.escape(m) for m in LANG_MARKERS[l])
+                              for l in self.lang_names]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         content = batch.column("content").combine_chunks()
         prefix = pc.utf8_slice_codeunits(content, 0, cfg.scorer_prefix_chars)
 
-        # marker-hit matrix: (n_langs, n_rows), vectorized substring counts
+        # marker-hit matrix: (n_langs, n_rows), one alternation scan/lang
         n = len(batch)
-        hits = np.zeros((len(self.lang_names), n), dtype=np.int64)
-        for li, lang in enumerate(self.lang_names):
-            for marker in LANG_MARKERS[lang]:
-                hits[li] += pc.count_substring(prefix, marker) \
-                    .to_numpy(zero_copy_only=False).astype(np.int64)
+        hits = np.empty((len(self.lang_names), n), dtype=np.int64)
+        for li, pattern in enumerate(self.lang_patterns):
+            hits[li] = pc.count_substring_regex(prefix, pattern) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
 
         best = hits.argmax(axis=0)          # first max wins — oracle tie rule
         best_hits = hits[best, np.arange(n)]

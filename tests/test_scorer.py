@@ -100,3 +100,45 @@ def test_external_model_artifact_injection(ray_session, tmp_path):
     st_text = ScorerStage(replace(cfg, model_path=None),
                           model_text=artifact.read_text())
     assert np.allclose(st_file.model.log_p, st_text.model.log_p)
+
+
+def test_log_ppl_many_matches_per_doc_reference():
+    """The batched (concat + reduceat) perplexity equals the per-doc
+    formula, including empty / 1-char / unicode edge docs."""
+    from dqm_ray.stages.scorer import VectorBigramModel
+
+    m = VectorBigramModel("the quick brown fox " * 50)
+    texts = ["hello world", "", "x", "a b", "é世界 mixed",
+             "", "zz", "the quick brown fox jumps", " ", ""]
+    got = m.log_ppl_many(texts)
+    for t, g in zip(texts, got):
+        ids = m._ids(t)
+        want = 0.0 if len(ids) < 2 else \
+            -float(m.log_p[ids[:-1], ids[1:]].sum()) / (len(ids) - 1)
+        assert abs(g - want) < 1e-12, (t, g, want)
+
+
+def test_marker_alternation_equals_per_marker_counts():
+    """The per-lang alternation scan must count exactly the sum of
+    per-marker counts (the SQL oracle keeps the per-marker form)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dqm_ray.config import LANG_MARKERS
+    from dqm_ray.stages.scorer import ScorerStage
+
+    st = ScorerStage()
+    # adversarial adjacency: markers back-to-back, repeated, interleaved
+    texts = []
+    for ms in LANG_MARKERS.values():
+        texts.append("".join(ms) * 3)
+        texts.append(" ".join(ms[::-1]))
+        texts.append(ms[0] + ms[0] + ms[-1])
+    arr = pa.array(texts, pa.large_string())
+    for li, lang in enumerate(st.lang_names):
+        combined = pc.count_substring_regex(arr, st.lang_patterns[li]) \
+            .to_numpy(zero_copy_only=False)
+        summed = sum(pc.count_substring(arr, mk)
+                     .to_numpy(zero_copy_only=False)
+                     for mk in LANG_MARKERS[lang])
+        assert (combined == summed).all(), lang
