@@ -689,6 +689,100 @@ def _q_knn_cosine(sf_dir: str):
     return df[["query_id", "vec_id", "rank", "cosine"]]
 
 
+def _ivf_index_dir(sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_CACHE, f"ivf_index_{sf}")
+
+
+def _ensure_ivf_index(sf_dir: str) -> str:
+    """Build (once) the persisted IVF index for this sf's embeddings:
+    hive-partitioned parquet by nearest-centroid list + centroids table."""
+    import ray.data as rd
+
+    from dqm_ray.functions.similarity import build_ivf_index
+
+    idx = _ivf_index_dir(sf_dir)
+    marker = os.path.join(idx, ".done-v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        build_ivf_index(ds, idx, n_centroids=8)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return idx
+
+
+def _q_knn_ivf(sf_dir: str):
+    """ANN through the PERSISTED IVF index: hive-partitioned by coarse
+    list, the query reads only its n_probe closest lists' files (the
+    100-TB I/O-pruning layout), exact cosine within."""
+    from dqm_ray.functions.similarity import knn_ivf_index
+
+    idx = _ensure_ivf_index(sf_dir)
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    mask = np.asarray(head["vec_id"]) < 4
+    q_ids = np.asarray(head["vec_id"])[mask]
+    q_mat = np.stack(head["embedding"].to_numpy(zero_copy_only=False)[mask])
+    df = knn_ivf_index(idx, q_ids, q_mat, k=10, n_probe=4)
+    df["cosine"] = np.round(df["cosine"].to_numpy(), 6)
+    return df[["query_id", "vec_id", "rank", "cosine"]]
+
+
+def _knn_ivf_oracle_sql(sf: str = "sf0.01") -> str:
+    """knn_ivf in SQL against the SAME persisted centroids: assignment =
+    argmax centroid dot (first-max tie), probe = each query's top-4
+    centroids, exact cosine top-10 within the query's probed lists.
+    Normalization cancels inside argmax/argsort, so raw dots order
+    identically to the Ray side's normalized ones."""
+    cent = os.path.join(_CACHE, f"ivf_index_{sf}", "centroids.parquet")
+    return f"""
+        WITH cent AS (SELECT list_id, centroid
+                      FROM read_parquet('{cent}')),
+        q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 4),
+        probe AS (
+          SELECT qid, list_id FROM (
+            SELECT q.qid, c.list_id,
+                   row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY list_dot_product(q.qe, c.centroid) DESC,
+                              c.list_id) AS pr
+            FROM q, cent c) WHERE pr <= 4
+        ),
+        assign AS (
+          SELECT vec_id, list_id FROM (
+            SELECT e.vec_id, c.list_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                               c.centroid) DESC,
+                              c.list_id) AS rn
+            FROM embeddings e, cent c) WHERE rn = 1
+        )
+        SELECT qid AS query_id, vec_id, rn AS rank,
+               round(CAST(cos AS DOUBLE), 6) AS cosine
+        FROM (
+          SELECT p.qid, a.vec_id,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        q.qe) AS cos,
+                 row_number() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                            a.vec_id) AS rn
+          FROM probe p
+          JOIN assign a ON a.list_id = p.list_id
+          JOIN embeddings e ON e.vec_id = a.vec_id
+          JOIN q ON q.qid = p.qid)
+        WHERE rn <= 10"""
+
+
 def _q_nl_langid(sf_dir: str):
     from dqm_ray.functions.text import nl_langid_batch
 
@@ -786,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raw_sample": _q_raw_sample,
         "fourier_events": _q_fourier_events,
         "knn_cosine": _q_knn_cosine,
+        "knn_ivf": _q_knn_ivf,
         "nl_langid": _q_nl_langid,
         "fingerprint": _q_fingerprint,
         "minhash_dedup": _q_minhash_dedup,
@@ -1350,6 +1445,7 @@ def oracle_sql() -> dict[str, str]:
         _ensure_emb_planes_parquet()
         _ensure_media_src_parquet()
         _ensure_poly_powers_parquet()
+        _ensure_ivf_index("/root/testdata/sf0.01")
     except Exception:  # noqa: BLE001 — oracle strings must still return
         pass
     return {
@@ -1361,6 +1457,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": _media_decode_oracle_sql(),
         "fourier_events": _fourier_events_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
+        "knn_ivf": _knn_ivf_oracle_sql("sf0.01"),
         "doc_line_stats": f"""
             SELECT doc_id,
               CAST(len({_LINES}) AS BIGINT) AS n_lines,

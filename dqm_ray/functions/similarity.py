@@ -96,6 +96,126 @@ def kmeans_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
     return cent
 
 
+def build_ivf_index(ds, index_dir: str, *, n_centroids: int = 16,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    sample_size: int = 2000, seed: int = 5) -> np.ndarray:
+    """Persist an IVF index: rows written as hive-partitioned parquet
+    keyed by their nearest-centroid id (``index_dir/list_id=<c>/``),
+    centroids alongside (``centroids.parquet``). A query then READS ONLY
+    its probed partitions — at 100-TB scale the win is I/O pruning, not
+    compute: n_probe/n_centroids of the bytes ever leave storage. The
+    partition dirs double as resume units."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    sample = np.stack(ds.limit(sample_size).to_pandas()[emb_col].to_numpy())
+    cent = kmeans_centroids(sample, n_centroids, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        emb = _normalize(np.stack(
+            batch.column(emb_col).to_numpy(zero_copy_only=False)))
+        lid = np.argmax(emb @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("list_id", pa.array(lid, pa.int32()))
+
+    ds.map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(index_dir, partition_cols=["list_id"])
+    pq.write_table(pa.table({
+        "list_id": pa.array(np.arange(len(cent), dtype=np.int32)),
+        "centroid": pa.array(list(cent), pa.list_(pa.float64())),
+    }), os.path.join(index_dir, "centroids.parquet"))
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"n_centroids": len(cent), "id_col": id_col,
+                   "emb_col": emb_col, "metric": "cosine"}, f)
+    return cent
+
+
+def knn_ivf_index(index_dir: str, query_ids, query_mat, k: int = 10, *,
+                  n_probe: int = 4, concurrency=2) -> pd.DataFrame:
+    """Query a persisted IVF index: pick each query's n_probe closest
+    centroids, ``read_parquet`` ONLY those partition directories (I/O
+    pruning — unprobed lists never leave storage), and score each query
+    against exactly its own probed lists via the list_id carried from
+    the hive path. Returns (query_id, vec_id, cosine, rank)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    id_col, emb_col = meta["id_col"], meta["emb_col"]
+    ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(ct.column("list_id").to_numpy(zero_copy_only=False))
+    cent = np.stack(ct.column("centroid").to_numpy(zero_copy_only=False))[order]
+    qn = _normalize(np.asarray(query_mat))
+    q_ids = np.asarray(query_ids, dtype=np.int64)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+
+    parts = []  # per-list reads (explicit files — a path LIST does not
+    for c in np.unique(probe):  # recursively expand directories)
+        d = os.path.join(index_dir, f"list_id={c}")
+        if not os.path.isdir(d):
+            continue
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.endswith(".parquet")]
+        if files:
+            lst = rd.read_parquet(files, columns=[id_col, emb_col])
+            parts.append(lst.map_batches(
+                lambda t, c=int(c): t.append_column(
+                    "list_id", pa.array(np.full(len(t), c, np.int32))),
+                batch_format="pyarrow"))
+    empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                          id_col: pd.Series(dtype="int64"),
+                          "cosine": pd.Series(dtype="float64"),
+                          "rank": pd.Series(dtype="int64")})
+    if not parts:
+        return empty
+    sub = parts[0]
+    for p in parts[1:]:
+        sub = sub.union(p)
+    q_ref = ray.put({"ids": q_ids, "mat": qn, "probe": probe})
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        lid = batch.column("list_id").to_numpy(zero_copy_only=False)
+        emb = _normalize(np.stack(
+            batch.column(emb_col).to_numpy(zero_copy_only=False)))
+        outs = []
+        for qi in range(len(q["ids"])):
+            mask = np.isin(lid, q["probe"][qi])
+            if not mask.any():
+                continue
+            sim = q["mat"][qi] @ emb[mask].T
+            kk = min(k, int(mask.sum()))
+            top = np.argpartition(-sim, kk - 1)[:kk]
+            outs.append(pa.table({
+                "query_id": pa.array(np.full(kk, q["ids"][qi]), pa.int64()),
+                id_col: pa.array(ids[mask][top].astype(np.int64)),
+                "cosine": pa.array(sim[top], pa.float64()),
+            }))
+        if not outs:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.concat_tables(outs)
+
+    df = sub.map_batches(score, batch_format="pyarrow",
+                         batch_size=4096).to_pandas()
+    if not len(df):
+        return empty
+    df = df.sort_values(["query_id", "cosine", id_col],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df.reset_index(drop=True)
+
+
 def knn_ivf(ds, query_ids, query_mat, k: int = 10, *, n_centroids: int = 16,
             n_probe: int = 4, id_col: str = "vec_id",
             emb_col: str = "embedding", sample_size: int = 2000,

@@ -163,3 +163,45 @@ def test_fingerprint_handles_nulls():
     assert fp[1] == 0 and fp[4] == 0
     assert [fp[0], fp[2], fp[3], fp[5]] == dense
     assert fp[0] == fp[2] != 0
+
+
+def test_ivf_persisted_index_roundtrip(ray_session, tmp_path):
+    """Build a persisted IVF index, query only the probed partitions,
+    and check recall vs exact brute force plus the I/O-pruning layout."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dqm_ray.functions.similarity import (build_ivf_index,
+                                              knn_brute_force, knn_ivf_index)
+
+    rng = np.random.default_rng(8)
+    n, dim = 3000, 16
+    emb = rng.standard_normal((n, dim)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(emb)})
+    ds = rd.from_pandas(df)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, n_centroids=8)
+    # hive layout: one dir per list + centroids + meta
+    dirs = [d for d in os.listdir(idx) if d.startswith("list_id=")]
+    assert len(dirs) >= 4
+    assert os.path.exists(os.path.join(idx, "centroids.parquet"))
+
+    q_ids = np.arange(5, dtype=np.int64)
+    q_mat = emb[:5].astype(np.float64)
+    exact = knn_brute_force(rd.from_pandas(df), q_ids, q_mat, k=10)
+    approx = knn_ivf_index(idx, q_ids, q_mat, k=10, n_probe=4)
+    # recall@10 with half the lists probed should be high on this data
+    rec = []
+    for qi in q_ids:
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        rec.append(len(a & e) / len(e))
+    assert np.mean(rec) >= 0.6, rec
+    # each query's own vector is in the probed set -> rank-1 self hit
+    top1 = approx[approx["rank"] == 1]
+    assert (top1.sort_values("query_id")["vec_id"].to_numpy()
+            == q_ids).all()
