@@ -1137,7 +1137,7 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
         FROM cand WHERE hamming <= {max_hamming}"""
 
 
-_MINHASH_PERMS_PARQUET = os.path.join(_CACHE, "minhash_perms_v1.parquet")
+_MINHASH_PERMS_PARQUET = os.path.join(_CACHE, "minhash_perms_v2.parquet")
 
 
 def _ensure_minhash_perms_parquet() -> str:
@@ -1148,11 +1148,11 @@ def _ensure_minhash_perms_parquet() -> str:
 
         from dqm_ray.functions.dedup import _perm_params
 
-        a, b = _perm_params(64, seed=7)
+        a, b = _perm_params(128, seed=7)
         os.makedirs(_CACHE, exist_ok=True)
         tmp = _MINHASH_PERMS_PARQUET + f".tmp{os.getpid()}"
         pq.write_table(pa.table({
-            "j": pa.array(np.arange(64, dtype=np.int64)),
+            "j": pa.array(np.arange(128, dtype=np.int64)),
             "a": pa.array(a, pa.uint64()),
             "b": pa.array(b, pa.uint64()),
         }), tmp)
@@ -1160,7 +1160,7 @@ def _ensure_minhash_perms_parquet() -> str:
     return _MINHASH_PERMS_PARQUET
 
 
-def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, k: int = 5,
+def _minhash_oracle_sql(num_perm: int = 128, bands: int = 16, k: int = 5,
                         threshold: float = 0.8) -> str:
     """The ENTIRE MinHash+LSH dedup chain re-derived in SQL: byte
     k-gram rolling hashes → per-permutation minima (permutation table

@@ -156,7 +156,7 @@ class MinHashStage:
     band per document. Permutation tables built once per actor."""
 
     def __init__(self, *, id_col: str = "doc_id", text_col: str = "text",
-                 num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+                 num_perm: int = 128, bands: int = 16, shingle_k: int = 5,
                  seed: int = 7):
         assert num_perm % bands == 0
         self.id_col, self.text_col = id_col, text_col
@@ -414,12 +414,18 @@ def connected_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
 
 
 def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
-                      num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+                      num_perm: int = 128, bands: int = 16, shingle_k: int = 5,
                       threshold: float = 0.8, concurrency=None,
                       batch_size: int = 512,
                       cc_pair_threshold: int = 2_000_000):
     """Near-dup detection: shingle → minhash → band → bucket groupby →
     candidate pairs → signature-Jaccard verify → connected components.
+
+    Banding default is 8 rows/band (128 perms / 16 bands) — tuned for
+    threshold≈0.8: recall ≈95% at sim 0.8 while only ~6% of sim-0.5
+    pairs ever become candidates. 4 rows/band (the textbook example)
+    floods buckets on template-heavy corpora where everything is ~50%
+    similar: measured 45x slower end-to-end on a 200k-file code corpus.
 
     Components run driver-side (union-find) only when the verified pair
     count is ≤ ``cc_pair_threshold``; above it they run through the
@@ -442,7 +448,6 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pyarrow", batch_size=batch_size, num_cpus=1,
         **({"concurrency": concurrency} if concurrency else {}))
 
-    import functools
     # signatures are consumed twice (bucket count + pair extraction):
     # materialize the COMPACT signature rows (~(num_perm+2)×8 B/row — never
     # the text). At extreme scale, write them to parquet instead and read
