@@ -847,6 +847,71 @@ def _q_media_decode(sf_dir: str):
         .select_columns(["media_id", "kind", "n_bytes", "checksum"])
 
 
+_BENCH_MOD = 50  # documents with doc_id % 50 == 0 act as the eval set
+_DECONTAM_K = 13
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: corpus docs sharing any 13-byte gram
+    with the benchmark subset (doc_id % 50 == 0). Benchmark grams are
+    collected distributed then broadcast once (ray.put); the corpus
+    pass is one streaming searchsorted probe per batch."""
+    from dqm_ray.functions.decontam import (collect_benchmark_grams,
+                                            decontaminate)
+
+    def part(is_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b.column("doc_id").to_numpy() % _BENCH_MOD == 0
+            return b.filter(pa.array(m if is_bench else ~m))
+        return f
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    grams = collect_benchmark_grams(
+        docs.map_batches(part(True), batch_format="pyarrow"),
+        k=_DECONTAM_K)
+    return decontaminate(
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(part(False), batch_format="pyarrow"),
+        grams, k=_DECONTAM_K)
+
+
+_SAMPLE_SEED = 11
+_SAMPLE_BASE_RATE = 0.1
+_SAMPLE_RATES = {"en": 0.1, "zh": 0.5, "es": 0.25, "de": 0.25, "fr": 0.25}
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: per-lang keep rates via one
+    keyed-hash filter — no shuffle, reproducible across reruns, and the
+    identical predicate runs in SQL (bitwise membership parity)."""
+    from dqm_ray.functions.sampling import hash_sample
+
+    return hash_sample(_docs(sf_dir, columns=["doc_id", "lang"]),
+                       key_col="doc_id", rate=_SAMPLE_BASE_RATE,
+                       seed=_SAMPLE_SEED, stratum_col="lang",
+                       rates=_SAMPLE_RATES)
+
+
+def _q_length_quantiles(sf_dir: str):
+    """Exact per-lang p50/p90/p99 of n_chars via the bounded value-count
+    histogram — reads two integer columns, shuffles only (lang, value,
+    count) rows."""
+    from dqm_ray.functions.quantiles import grouped_discrete_quantiles
+
+    return grouped_discrete_quantiles(
+        _docs(sf_dir, columns=["lang", "n_chars"]),
+        group_col="lang", value_col="n_chars")
+
+
+def _q_top_terms(sf_dir: str):
+    """Corpus heavy hitters: top-100 lowercase word tokens by frequency
+    (ties by term) — per-batch Arrow tokenize + value_counts, vocabulary-
+    bounded shuffle, distributed sort + limit."""
+    from dqm_ray.functions.text import top_terms
+
+    return top_terms(_docs(sf_dir, columns=["text"]), k=100)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -887,6 +952,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_decode": _q_media_decode,
+        "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
+        "length_quantiles": _q_length_quantiles,
+        "top_terms": _q_top_terms,
     }
 
 
@@ -1434,6 +1503,63 @@ def _fingerprint_oracle_sql(ngram: int = 8) -> str:
         FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"""
 
 
+def _decontam_oracle_sql(k: int = _DECONTAM_K,
+                         bench_mod: int = _BENCH_MOD) -> str:
+    """Decontamination re-derived in SQL: the same rolling k-byte-gram
+    polynomial hashes as the Ray kernel (whole-doc hash for short docs),
+    benchmark side = doc_id % bench_mod == 0, contaminated = shares any
+    distinct gram. Mod-2^64 wraparound via HUGEINT (products stay under
+    2^127 because byte values are < 256)."""
+    from dqm_ray.functions.dedup import _POLY_P
+
+    P, M = int(_POLY_P), 1 << 64
+    c = [pow(P, m, M) for m in range(k)]
+    gram_expr = " + ".join(
+        f"(CAST(b{j} AS HUGEINT) * {c[k - 1 - j]}) % {M}" for j in range(k))
+    leads = ", ".join(f"lead(b0, {j}) OVER win AS b{j}" for j in range(1, k))
+    short_coef = " ".join(f"WHEN {m} THEN {c[m]}" for m in range(k - 1))
+    return f"""
+        WITH bytes AS MATERIALIZED (
+          SELECT doc_id, t.i, length(text) AS L,
+                 unicode(substr(text, CAST(t.i AS INT), 1)) AS b0
+          FROM documents, unnest(range(1, length(text)+1)) t(i)
+        ),
+        w AS (
+          SELECT doc_id, i, L, b0, {leads}
+          FROM bytes WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        ),
+        grams AS MATERIALIZED (
+          SELECT DISTINCT doc_id, CAST(({gram_expr}) % {M} AS UBIGINT) AS gram
+          FROM w WHERE L >= {k} AND i <= L - {k} + 1
+          UNION
+          SELECT doc_id, CAST(SUM((CAST(b0 AS HUGEINT) *
+                   (CASE L - i {short_coef} END)) % {M}) % {M} AS UBIGINT)
+          FROM bytes WHERE L < {k} GROUP BY doc_id
+          UNION
+          SELECT doc_id, 0 FROM documents WHERE length(text) = 0
+        ),
+        bench AS (SELECT DISTINCT gram FROM grams
+                  WHERE doc_id % {bench_mod} = 0)
+        SELECT g.doc_id, count(DISTINCT g.gram) AS n_matched
+        FROM grams g JOIN bench USING (gram)
+        WHERE g.doc_id % {bench_mod} <> 0
+        GROUP BY g.doc_id"""
+
+
+def _stratified_sample_oracle_sql() -> str:
+    """The identical keyed-hash keep-predicate in SQL (same multiplier,
+    offset and integer thresholds as dqm_ray.functions.sampling)."""
+    from dqm_ray.functions.sampling import rate_threshold, sample_sql_hash
+
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {rate_threshold(r)}"
+        for lang, r in sorted(_SAMPLE_RATES.items()))
+    thr = (f"CASE lang {cases} "
+           f"ELSE {rate_threshold(_SAMPLE_BASE_RATE)} END")
+    return (f"SELECT doc_id, lang FROM documents "
+            f"WHERE {sample_sql_hash('doc_id', _SAMPLE_SEED)} < {thr}")
+
+
 def oracle_sql() -> dict[str, str]:
     # The flagship oracle reads the deterministic /tmp corpus cache and
     # the bigram-model parquet; materialize both here so the SQL is
@@ -1458,6 +1584,21 @@ def oracle_sql() -> dict[str, str]:
         "fourier_events": _fourier_events_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "knn_ivf": _knn_ivf_oracle_sql("sf0.01"),
+        "decontaminate": _decontam_oracle_sql(),
+        "stratified_sample": _stratified_sample_oracle_sql(),
+        "length_quantiles": """
+            SELECT lang,
+                   quantile_disc(n_chars, 0.5) AS p50,
+                   quantile_disc(n_chars, 0.9) AS p90,
+                   quantile_disc(n_chars, 0.99) AS p99
+            FROM documents GROUP BY lang""",
+        "top_terms": """
+            SELECT term, count(*) AS n FROM (
+              SELECT unnest(list_filter(
+                regexp_extract_all(lower(text), '[a-z]+'),
+                x -> length(x) >= 2)) AS term
+              FROM documents)
+            GROUP BY term ORDER BY n DESC, term ASC LIMIT 100""",
         "doc_line_stats": f"""
             SELECT doc_id,
               CAST(len({_LINES}) AS BIGINT) AS n_lines,

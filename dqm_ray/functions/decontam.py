@@ -1,0 +1,87 @@
+"""Benchmark decontamination: flag corpus documents that share any
+k-byte-gram with a benchmark/eval set.
+
+The benchmark side is the SMALL side by construction (eval sets are a
+few MB against a multi-TB corpus), so this is the broadcast semi-join
+pattern: its distinct gram hashes are collected once, ``ray.put`` into
+the object store as one sorted uint64 array, and every map task does a
+zero-copy ``searchsorted`` membership probe per batch — no shuffle of
+content or grams, and the corpus is read exactly once, streaming.
+
+Reference parity: same shape as the reference's build-once broadcast
+lookup (ChannelMapFiller loads one small external map, every worker
+consults it per record — include/dqm/ChannelMapFiller.hpp:38-75); here
+the "map" is the benchmark gram-hash set.
+
+Scale note: the broadcast array costs 8 B/gram — a 100 MB benchmark
+set is ~0.8 GB of grams, still fine to broadcast once per node. For a
+benchmark side too big to broadcast, hash-partition BOTH sides by gram
+and semi-join per partition (`dqm_ray.functions.joins.
+partitioned_hash_join` is the building block); not needed for real
+decontamination workloads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from dqm_ray.functions.dedup import batch_gram_hashes
+
+DEFAULT_K = 13  # bytes per gram — standard contamination n-gram order
+
+
+def collect_benchmark_grams(bench_ds, *, text_col: str = "text",
+                            k: int = DEFAULT_K) -> np.ndarray:
+    """Distinct k-gram hashes of the benchmark set, as a sorted uint64
+    array. Distributed extraction (per-batch unique), tiny driver-side
+    merge — bounded by the benchmark vocabulary, not the corpus."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        allg, _, _ = batch_gram_hashes(batch.column(text_col), k)
+        return pa.table({"gram": pa.array(np.unique(allg), pa.uint64())})
+
+    parts = [b.column("gram").to_numpy()
+             for b in bench_ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    if not parts:
+        return np.zeros(0, np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def decontaminate(ds, bench_grams: np.ndarray, *, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = DEFAULT_K,
+                  batch_size: int = 512):
+    """Per contaminated document: (id, n_matched) where n_matched is the
+    count of DISTINCT gram hashes shared with the benchmark set. Clean
+    documents are dropped from the output."""
+    import ray
+
+    grams_ref = ray.put(np.sort(np.asarray(bench_grams, dtype=np.uint64)))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bench = ray.get(grams_ref)  # zero-copy view of the plasma buffer
+        n = len(batch)
+        out_id = batch.column(id_col).slice(0, 0)
+        out_n = pa.array([], pa.int64())
+        if n and len(bench):
+            allg, _starts, counts = batch_gram_hashes(
+                batch.column(text_col), k)
+            pos = np.searchsorted(bench, allg)
+            pos[pos == len(bench)] = 0
+            hit = bench[pos] == allg
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)[hit]
+            gv = allg[hit]
+            # distinct (doc, gram) pairs — dedupe only the matched tail
+            order = np.lexsort((gv, doc_idx))
+            doc_idx, gv = doc_idx[order], gv[order]
+            first = np.ones(len(doc_idx), bool)
+            first[1:] = (doc_idx[1:] != doc_idx[:-1]) | (gv[1:] != gv[:-1])
+            n_matched = np.bincount(doc_idx[first], minlength=n)
+            keep = n_matched > 0
+            out_id = batch.column(id_col).filter(pa.array(keep))
+            out_n = pa.array(n_matched[keep], pa.int64())
+        return pa.table({id_col: out_id, "n_matched": out_n})
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          batch_size=batch_size, num_cpus=1)

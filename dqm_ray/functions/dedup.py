@@ -137,6 +137,50 @@ def _multirange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
         starts.astype(np.int64) - np.concatenate(([0], cum[:-1])), counts)
 
 
+def batch_gram_hashes(text, k: int):
+    """All k-byte-gram rolling hashes for every doc of a batch, straight
+    off the raw utf8 buffer (zero per-doc string slicing). A doc shorter
+    than k bytes contributes one whole-doc hash (empty doc → 0), matching
+    the SQL oracle's grams CTE. Returns ``(grams, starts, counts)``:
+    doc i's grams are ``grams[starts[i] : starts[i] + counts[i]]``
+    (duplicates included — callers needing set semantics dedupe)."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(text)
+    empty = (np.zeros(0, np.uint64), np.zeros(0, np.int64),
+             np.zeros(0, np.int64))
+    if n == 0:
+        return empty
+    from dqm_ray.stages.rules import string_buffer_view
+
+    view = string_buffer_view(text)
+    if view is None:  # null rows present: rare per-doc fallback
+        per = []
+        for t in text.to_pylist():
+            d = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            per.append(_rolling_gram_hashes(d, k) if len(d) >= k
+                       else np.array([_poly_hash(d)], np.uint64))
+        counts = np.array([len(p) for p in per], np.int64)
+        starts = np.zeros(n, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        return np.concatenate(per), starts, counts
+    data, offs = view
+    g = _rolling_gram_hashes(data, k)
+    lens = np.diff(offs)
+    long_counts = np.maximum(lens - k + 1, 0)
+    counts = np.where(lens >= k, long_counts, 1)  # short row: 1 gram
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    allg = np.empty(int(counts.sum()), dtype=np.uint64)
+    long_rows = lens >= k
+    # gram i of row r lives at g[offs[r] + i] — gather row-major
+    allg[_multirange(starts[long_rows], long_counts[long_rows])] = \
+        g[_multirange(offs[:-1][long_rows], long_counts[long_rows])]
+    for i in np.nonzero(~long_rows)[0]:  # rare: docs shorter than k
+        allg[starts[i]] = _poly_hash(data[offs[i]:offs[i + 1]])
+    return allg, starts, counts
+
+
 def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray,
                       b: np.ndarray) -> np.ndarray:
     """Multiply-add (mod 2^64 wraparound) hashing, min over shingles per
@@ -176,34 +220,10 @@ class MinHashStage:
         per-doc minima via reduceat over doc segments."""
         if not isinstance(text, (pa.Array, pa.ChunkedArray)):
             text = pa.array(list(text), pa.large_string())
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
         n = len(text)
         if n == 0:
             return np.zeros((0, self.num_perm), np.uint64)
-        from dqm_ray.stages.rules import string_buffer_view
-
-        view = string_buffer_view(text)
-        if view is None:  # null rows present: per-doc fallback
-            return np.stack([
-                minhash_signature(
-                    _char_shingle_hashes(t or "", self.k), self.a, self.b)
-                for t in text.to_pylist()])
-        data, offs = view
-        k = self.k
-        g = _rolling_gram_hashes(data, k)
-        lens = np.diff(offs)
-        long_counts = np.maximum(lens - k + 1, 0)
-        counts = np.where(lens >= k, long_counts, 1)  # short row: 1 gram
-        starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        allg = np.empty(int(counts.sum()), dtype=np.uint64)
-        long_rows = lens >= k
-        # gram i of row r lives at g[offs[r] + i] — gather row-major
-        allg[_multirange(starts[long_rows], long_counts[long_rows])] = \
-            g[_multirange(offs[:-1][long_rows], long_counts[long_rows])]
-        for i in np.nonzero(~long_rows)[0]:  # rare: docs shorter than k
-            allg[starts[i]] = _poly_hash(data[offs[i]:offs[i + 1]])
+        allg, starts, _counts = batch_gram_hashes(text, self.k)
         # one contiguous 1D multiply-add + segment-min per permutation:
         # cache-friendly (the 2D broadcast layout measured 25x slower)
         # and peak extra memory is one n_grams x 8 B temporary

@@ -1,0 +1,66 @@
+"""Exact grouped quantiles for discrete (integer) metrics at scale.
+
+A distributed sort-based percentile moves every row; for discrete
+metrics (lengths, counts, scores-in-buckets) the value-count histogram
+is exact and tiny: per-batch partial (group, value, n) counts shrink
+the shuffle to |groups| x |distinct values| rows, then one map_groups
+pass per group walks its sorted histogram. Nothing unbounded touches a
+single task: a group's state is its distinct-value histogram, not its
+rows.
+
+Quantile definition = SQL ``quantile_disc`` / ``percentile_disc``: the
+smallest value whose cumulative count reaches ``ceil(q * N)`` — exact
+integer semantics, no interpolation, so the DuckDB oracle matches
+bitwise.
+
+Reference parity: the reference's Hist algorithm also reduces a window
+to a bounded counter vector before export (src/algs/Hist.cpp via
+include/dqm/algs/Hist.hpp) — this generalizes it to exact quantiles
+over grouped streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def grouped_discrete_quantiles(ds, *, group_col: str, value_col: str,
+                               qs: tuple = (0.5, 0.9, 0.99),
+                               names: tuple | None = None):
+    """Per group: exact discrete quantiles of an integer column.
+
+    Returns one row per group with columns ``(group_col, *names)``;
+    ``names`` defaults to ``p50``-style labels from ``qs``.
+    """
+    from ray.data.aggregate import Sum
+
+    names = names or tuple(f"p{int(round(q * 100))}" for q in qs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({group_col: g, value_col: v})
+        out = df.groupby([group_col, value_col], as_index=False,
+                         sort=False).size()
+        return pa.table({group_col: pa.array(out[group_col]),
+                         value_col: pa.array(out[value_col].astype(np.int64)),
+                         "n": pa.array(out["size"].astype(np.int64))})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow", num_cpus=1) \
+        .groupby([group_col, value_col]).aggregate(Sum("n", alias_name="n"))
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g[value_col].to_numpy(), kind="stable")
+        vals = g[value_col].to_numpy()[order]
+        cum = np.cumsum(g["n"].to_numpy()[order])
+        total = cum[-1]
+        row = {group_col: [g[group_col].iloc[0]]}
+        for q, name in zip(qs, names):
+            target = max(int(np.ceil(q * total)), 1)
+            row[name] = [vals[np.searchsorted(cum, target)]]
+        return pd.DataFrame(row)
+
+    return hist.groupby(group_col).map_groups(quantiles,
+                                              batch_format="pandas")

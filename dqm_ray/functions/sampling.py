@@ -1,0 +1,82 @@
+"""Deterministic hash-based sampling.
+
+Sampling at 100-TB scale must be a pushdown-able per-row predicate —
+no global randomness, no coordination, reproducible across reruns and
+resumes. Row r is kept iff ``(key_u64(r) * A + B) mod 2^64 < rate *
+2^64`` with fixed odd multiplier A: a multiplicative hash whose low
+threshold bits are uniform, so the kept fraction converges to ``rate``
+per stratum while membership is a pure function of (key, seed).
+
+The same predicate is exactly expressible in SQL (HUGEINT mulmod), so
+sampled outputs are bitwise comparable across engines — unlike
+``ds.random_sample``, whose membership depends on task layout.
+
+Reference parity: the reference decimates deterministically too — every
+poll takes a fixed frame window, not a random subset (fake_app_confgen
+.py:171-174 cadence/size pairs); keyed hash sampling is the
+corpus-scale analog.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SAMPLE_A = 0x9E3779B97F4A7C15  # odd 64-bit golden-ratio multiplier
+_SEED_MIX = 0xBF58476D1CE4E5B9  # splitmix64 constant for seed → offset
+
+_M64 = 1 << 64
+
+
+def _offset(seed: int) -> int:
+    return (seed * _SEED_MIX + 0x94D049BB133111EB) % _M64
+
+
+def rate_threshold(rate: float) -> int:
+    """Exact integer threshold for a keep-rate in [0, 1]."""
+    return min(max(int(rate * _M64), 0), _M64 - 1)
+
+
+def hash_sample(ds, *, key_col: str, rate: float, seed: int = 0,
+                stratum_col: str | None = None,
+                rates: dict | None = None):
+    """Keep rows whose keyed hash falls under the rate threshold.
+
+    With ``stratum_col``/``rates``, each stratum value gets its own
+    rate (missing strata fall back to ``rate``) — deterministic
+    stratified sampling with zero shuffle: one vectorized filter.
+    """
+    off = np.uint64(_offset(seed))
+    base_thr = rate_threshold(rate)
+    rate_map = {k: rate_threshold(v) for k, v in (rates or {}).items()}
+
+    def flt(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = keys.astype(np.int64).view(np.uint64) * np.uint64(SAMPLE_A) + off
+        if stratum_col is None:
+            thr = np.uint64(base_thr)
+            mask = h < thr
+        else:
+            sv = batch.column(stratum_col).to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(sv, return_inverse=True)
+            thr_per = np.array([rate_map.get(u, base_thr) for u in uniq],
+                               dtype=np.uint64)
+            mask = h < thr_per[inv]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(flt, batch_format="pyarrow", num_cpus=1)
+
+
+def sample_sql_hash(key_expr: str, seed: int = 0) -> str:
+    """The keyed hash as a DuckDB expression producing the same uint64
+    value as the Ray side (32-bit-split mulmod so the HUGEINT product
+    never overflows)."""
+    a_hi, a_lo = (SAMPLE_A >> 32) << 32, SAMPLE_A & 0xFFFFFFFF
+    mul = (f"((CAST({key_expr} AS HUGEINT) * {a_hi}) % {_M64} "
+           f"+ (CAST({key_expr} AS HUGEINT) * {a_lo}) % {_M64})")
+    return f"(({mul} + {_offset(seed)}) % {_M64})"
+
+
+def sample_sql_predicate(key_expr: str, thr: int, seed: int = 0) -> str:
+    """The identical keep-predicate as a DuckDB boolean expression."""
+    return f"{sample_sql_hash(key_expr, seed)} < {thr}"

@@ -146,3 +146,36 @@ def quality_score_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     space_score = np.clip(spaces / np.maximum(words, 1.0), 0.0, 1.0)
     score = 0.25 * (len_score + word_score + punct_score + space_score)
     return batch.append_column("quality_score", pa.array(score, pa.float64()))
+
+
+def top_terms(ds, *, text_col: str = "text", min_len: int = 2,
+              k: int = 100):
+    """Corpus-wide heavy hitters: the k most frequent lowercase ASCII
+    word tokens (``[a-z]+`` runs of ``lower(text)``, length >= min_len).
+
+    Scale shape: tokenization and first-level counting happen per batch
+    (Arrow split + value_counts — the shuffle moves (term, partial_count)
+    rows bounded by the vocabulary, never tokens), then one small
+    groupby-sum and a distributed sort + limit. Ties break by term
+    ascending so the top-k set is deterministic.
+
+    Reference parity: Counter-style raw stream reduced to a bounded
+    export per window (include/dqm/ChannelStream.hpp export loop) —
+    here the export is the global term histogram's top-k."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col).combine_chunks()),
+            "[^a-z]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.greater_equal(pc.utf8_length(flat),
+                                            min_len))
+        vc = pc.value_counts(flat)
+        return pa.table({"term": vc.field("values"),
+                         "n": vc.field("counts")})
+
+    return (ds.map_batches(partial, batch_format="pyarrow", num_cpus=1)
+            .groupby("term").aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "term"], descending=[True, False])
+            .limit(k))

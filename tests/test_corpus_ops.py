@@ -1,0 +1,181 @@
+"""Decontamination, deterministic sampling, exact grouped quantiles,
+and heavy-hitter terms — the round-2 corpus-pipeline operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(table):
+    import ray.data as rd
+
+    return rd.from_arrow(table)
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_planted(ray_session):
+    from dqm_ray.functions.decontam import (collect_benchmark_grams,
+                                            decontaminate)
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "completely unrelated content with zero overlap here",
+            "prefix " + bench_text[10:40] + " suffix",   # shares grams
+            bench_text,                                   # identical
+            "xyz",                                        # short, clean
+        ]),
+    })
+    bench = pa.table({"doc_id": pa.array([100], pa.int64()),
+                      "text": pa.array([bench_text])})
+    grams = collect_benchmark_grams(_ds(bench), k=13)
+    assert grams.dtype == np.uint64 and len(grams) == len(bench_text) - 12
+    out = decontaminate(_ds(docs), grams, k=13).to_pandas()
+    assert set(out["doc_id"]) == {2, 3}
+    n = dict(zip(out["doc_id"], out["n_matched"]))
+    # identical doc matches every distinct bench gram
+    assert n[3] == len(grams)
+    # partial overlap: n_matched == naive distinct-shared-gram count
+    def gram_set(s):
+        return {s[i:i + 13] for i in range(len(s) - 12)}
+    expected = len(gram_set(docs["text"][1].as_py()) & gram_set(bench_text))
+    assert n[2] == expected and expected >= 18
+
+
+def test_decontaminate_short_and_empty_docs(ray_session):
+    from dqm_ray.functions.decontam import (collect_benchmark_grams,
+                                            decontaminate)
+
+    # docs shorter than k hash as one whole-doc gram: exact short-doc
+    # duplicates of a benchmark short doc are caught, substrings are not
+    bench = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array(["tiny"])})
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["tiny", "tin", ""]),
+    })
+    grams = collect_benchmark_grams(_ds(bench), k=13)
+    out = decontaminate(_ds(docs), grams, k=13).to_pandas()
+    assert set(out["doc_id"]) == {1}
+
+
+def test_decontaminate_empty_bench(ray_session):
+    from dqm_ray.functions.decontam import decontaminate
+
+    docs = pa.table({"doc_id": pa.array([1], pa.int64()),
+                     "text": pa.array(["anything at all goes here"])})
+    out = decontaminate(_ds(docs), np.zeros(0, np.uint64)).to_pandas()
+    assert len(out) == 0
+    if len(out.columns):  # Ray drops schema on fully-empty datasets
+        assert list(out.columns) == ["doc_id", "n_matched"]
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_rate_and_determinism(ray_session):
+    from dqm_ray.functions.sampling import hash_sample
+
+    ids = np.arange(20_000, dtype=np.int64)
+    t = pa.table({"k": pa.array(ids)})
+    out1 = hash_sample(_ds(t), key_col="k", rate=0.25, seed=3).to_pandas()
+    out2 = hash_sample(_ds(t), key_col="k", rate=0.25, seed=3).to_pandas()
+    assert sorted(out1["k"]) == sorted(out2["k"])  # pure function of key
+    assert abs(len(out1) / 20_000 - 0.25) < 0.02
+    # different seed → different membership
+    out3 = hash_sample(_ds(t), key_col="k", rate=0.25, seed=4).to_pandas()
+    assert sorted(out3["k"]) != sorted(out1["k"])
+
+
+def test_hash_sample_stratified_rates(ray_session):
+    from dqm_ray.functions.sampling import hash_sample
+
+    n = 30_000
+    strata = np.where(np.arange(n) % 3 == 0, "a", "b")
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                  "s": pa.array(strata)})
+    out = hash_sample(_ds(t), key_col="k", rate=0.05, seed=1,
+                      stratum_col="s", rates={"a": 0.5}).to_pandas()
+    fa = (out["s"] == "a").sum() / (n / 3)
+    fb = (out["s"] == "b").sum() / (2 * n / 3)
+    assert abs(fa - 0.5) < 0.03
+    assert abs(fb - 0.05) < 0.01
+
+
+def test_hash_sample_sql_parity(ray_session):
+    """The SQL predicate selects the identical key set (bitwise)."""
+    import duckdb
+
+    from dqm_ray.functions.sampling import (hash_sample, rate_threshold,
+                                            sample_sql_predicate)
+
+    ids = np.arange(5_000, dtype=np.int64) * 7 + 13
+    t = pa.table({"k": pa.array(ids)})
+    got = sorted(hash_sample(_ds(t), key_col="k", rate=0.2,
+                             seed=9).to_pandas()["k"])
+    pred = sample_sql_predicate("k", rate_threshold(0.2), seed=9)
+    want = sorted(duckdb.sql(
+        f"SELECT k FROM t WHERE {pred}").df()["k"])
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# grouped quantiles
+# ---------------------------------------------------------------------------
+
+def test_grouped_quantiles_matches_naive(ray_session):
+    from dqm_ray.functions.quantiles import grouped_discrete_quantiles
+
+    rng = np.random.default_rng(5)
+    g = rng.choice(["x", "y", "z"], size=5_000)
+    v = rng.integers(0, 300, size=5_000)
+    t = pa.table({"g": pa.array(g), "v": pa.array(v, pa.int64())})
+    out = grouped_discrete_quantiles(_ds(t), group_col="g", value_col="v",
+                                     qs=(0.5, 0.9, 0.99)).to_pandas()
+    out = out.set_index("g").sort_index()
+    for grp in "xyz":
+        vals = np.sort(v[g == grp])
+        for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            idx = max(int(np.ceil(q * len(vals))), 1) - 1
+            assert out.loc[grp, col] == vals[idx], (grp, col)
+
+
+def test_grouped_quantiles_single_value_group(ray_session):
+    from dqm_ray.functions.quantiles import grouped_discrete_quantiles
+
+    t = pa.table({"g": pa.array(["a", "a", "b"]),
+                  "v": pa.array([7, 7, 9], pa.int64())})
+    out = grouped_discrete_quantiles(_ds(t), group_col="g", value_col="v") \
+        .to_pandas().set_index("g")
+    assert (out.loc["a"] == 7).all()
+    assert (out.loc["b"] == 9).all()
+
+
+# ---------------------------------------------------------------------------
+# top terms
+# ---------------------------------------------------------------------------
+
+def test_top_terms_counts_and_ties(ray_session):
+    from dqm_ray.functions.text import top_terms
+
+    t = pa.table({"text": pa.array([
+        "Apple banana apple! Cherry; banana apple",
+        "banana cherry DATE a bc",
+    ])})
+    out = top_terms(_ds(t), k=3).to_pandas()
+    assert list(out["term"]) == ["apple", "banana", "cherry"]
+    assert list(out["n"]) == [3, 3, 2]
+
+
+def test_top_terms_min_len_filters_single_letters(ray_session):
+    from dqm_ray.functions.text import top_terms
+
+    t = pa.table({"text": pa.array(["a b c dd dd e"])})
+    out = top_terms(_ds(t), k=10).to_pandas()
+    assert list(out["term"]) == ["dd"]
