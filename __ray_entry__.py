@@ -849,6 +849,15 @@ def _q_media_decode(sf_dir: str):
 
 _BENCH_MOD = 50  # documents with doc_id % 50 == 0 act as the eval set
 _DECONTAM_K = 13
+_DOCPREP_MIN_MATCHES = 20  # substantive leakage, not boilerplate overlap
+
+
+def _bench_split(is_bench: bool):
+    """Vectorized filter: the benchmark subset or its complement."""
+    def f(b: pa.Table) -> pa.Table:
+        m = b.column("doc_id").to_numpy() % _BENCH_MOD == 0
+        return b.filter(pa.array(m if is_bench else ~m))
+    return f
 
 
 def _q_decontaminate(sf_dir: str):
@@ -859,19 +868,13 @@ def _q_decontaminate(sf_dir: str):
     from dqm_ray.functions.decontam import (collect_benchmark_grams,
                                             decontaminate)
 
-    def part(is_bench: bool):
-        def f(b: pa.Table) -> pa.Table:
-            m = b.column("doc_id").to_numpy() % _BENCH_MOD == 0
-            return b.filter(pa.array(m if is_bench else ~m))
-        return f
-
     docs = _docs(sf_dir, columns=["doc_id", "text"])
     grams = collect_benchmark_grams(
-        docs.map_batches(part(True), batch_format="pyarrow"),
+        docs.map_batches(_bench_split(True), batch_format="pyarrow"),
         k=_DECONTAM_K)
     return decontaminate(
         _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(part(False), batch_format="pyarrow"),
+        .map_batches(_bench_split(False), batch_format="pyarrow"),
         grams, k=_DECONTAM_K)
 
 
@@ -901,6 +904,25 @@ def _q_length_quantiles(sf_dir: str):
     return grouped_discrete_quantiles(
         _docs(sf_dir, columns=["lang", "n_chars"]),
         group_col="lang", value_col="n_chars")
+
+
+def _q_docprep(sf_dir: str):
+    """The composed LLM data-prep chain (quality filter → exact dedup →
+    decontamination → stratified sample) end to end — every stage
+    individually oracled, and the composition oracled as one SQL
+    program."""
+    from dqm_ray.functions.decontam import collect_benchmark_grams
+    from dqm_ray.pipelines.docprep import run_docprep
+
+    grams = collect_benchmark_grams(
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(_bench_split(True), batch_format="pyarrow"),
+        k=_DECONTAM_K)
+    corpus = _docs(sf_dir, columns=["doc_id", "text", "lang"]) \
+        .map_batches(_bench_split(False), batch_format="pyarrow")
+    return run_docprep(corpus, bench_grams=grams, rates=_SAMPLE_RATES,
+                       base_rate=_SAMPLE_BASE_RATE, seed=_SAMPLE_SEED,
+                       k=_DECONTAM_K, min_matches=_DOCPREP_MIN_MATCHES)
 
 
 def _q_top_terms(sf_dir: str):
@@ -956,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "length_quantiles": _q_length_quantiles,
         "top_terms": _q_top_terms,
+        "docprep": _q_docprep,
     }
 
 
@@ -1503,13 +1526,10 @@ def _fingerprint_oracle_sql(ngram: int = 8) -> str:
         FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"""
 
 
-def _decontam_oracle_sql(k: int = _DECONTAM_K,
-                         bench_mod: int = _BENCH_MOD) -> str:
-    """Decontamination re-derived in SQL: the same rolling k-byte-gram
-    polynomial hashes as the Ray kernel (whole-doc hash for short docs),
-    benchmark side = doc_id % bench_mod == 0, contaminated = shares any
-    distinct gram. Mod-2^64 wraparound via HUGEINT (products stay under
-    2^127 because byte values are < 256)."""
+def _gram_ctes(k: int = _DECONTAM_K) -> str:
+    """CTE fragment computing the distinct rolling k-byte-gram hashes of
+    every document (same polynomial family as the Ray kernel; whole-doc
+    hash for short docs; HUGEINT mod-2^64)."""
     from dqm_ray.functions.dedup import _POLY_P
 
     P, M = int(_POLY_P), 1 << 64
@@ -1518,8 +1538,7 @@ def _decontam_oracle_sql(k: int = _DECONTAM_K,
         f"(CAST(b{j} AS HUGEINT) * {c[k - 1 - j]}) % {M}" for j in range(k))
     leads = ", ".join(f"lead(b0, {j}) OVER win AS b{j}" for j in range(1, k))
     short_coef = " ".join(f"WHEN {m} THEN {c[m]}" for m in range(k - 1))
-    return f"""
-        WITH bytes AS MATERIALIZED (
+    return f"""bytes AS MATERIALIZED (
           SELECT doc_id, t.i, length(text) AS L,
                  unicode(substr(text, CAST(t.i AS INT), 1)) AS b0
           FROM documents, unnest(range(1, length(text)+1)) t(i)
@@ -1537,13 +1556,79 @@ def _decontam_oracle_sql(k: int = _DECONTAM_K,
           FROM bytes WHERE L < {k} GROUP BY doc_id
           UNION
           SELECT doc_id, 0 FROM documents WHERE length(text) = 0
-        ),
+        )"""
+
+
+def _decontam_oracle_sql(k: int = _DECONTAM_K,
+                         bench_mod: int = _BENCH_MOD) -> str:
+    """Decontamination re-derived in SQL: benchmark side = doc_id %
+    bench_mod == 0, contaminated = shares any distinct k-gram hash."""
+    return f"""
+        WITH {_gram_ctes(k)},
         bench AS (SELECT DISTINCT gram FROM grams
                   WHERE doc_id % {bench_mod} = 0)
         SELECT g.doc_id, count(DISTINCT g.gram) AS n_matched
         FROM grams g JOIN bench USING (gram)
         WHERE g.doc_id % {bench_mod} <> 0
         GROUP BY g.doc_id"""
+
+
+# quality_score_batch re-derived as one SQL expression over `text` —
+# identical IEEE op order to the Ray kernel (shared by the quality_score
+# and docprep oracles)
+_QUALITY_EXPR = """0.25 * (
+              least(greatest(length(text) / 500.0, 0.0), 1.0)
+              + least(greatest(
+                  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS DOUBLE)
+                  / greatest(length(text) / 6.0, 1.0), 0.0), 1.0)
+              + (1.0 - least(greatest(
+                  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                  / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                             AS DOUBLE), 1.0), 0.0), 1.0))
+              + least(greatest(
+                  CAST(len(regexp_extract_all(text, ' ')) AS DOUBLE)
+                  / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                             AS DOUBLE), 1.0), 0.0), 1.0)
+            )"""
+
+
+def _docprep_oracle_sql() -> str:
+    """The COMPOSED data-prep chain in one SQL program: quality filter
+    (same IEEE expression) → first-wins exact dedup among survivors →
+    drop docs sharing any 13-gram with the benchmark subset → the
+    identical keyed-hash stratified sample predicate."""
+    from dqm_ray.functions.sampling import rate_threshold, sample_sql_hash
+
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {rate_threshold(r)}"
+        for lang, r in sorted(_SAMPLE_RATES.items()))
+    thr = (f"CASE lang {cases} "
+           f"ELSE {rate_threshold(_SAMPLE_BASE_RATE)} END")
+    return f"""
+        WITH {_gram_ctes(_DECONTAM_K)},
+        bench AS (SELECT DISTINCT gram FROM grams
+                  WHERE doc_id % {_BENCH_MOD} = 0),
+        qualified AS (
+          SELECT doc_id, lang, text, {_QUALITY_EXPR} AS quality_score
+          FROM documents
+          WHERE doc_id % {_BENCH_MOD} <> 0
+        ),
+        surviving AS (
+          SELECT * FROM qualified WHERE quality_score >= 0.5
+        ),
+        winners AS (
+          SELECT min(doc_id) AS doc_id FROM surviving GROUP BY text
+        ),
+        contaminated AS (
+          SELECT g.doc_id FROM grams g JOIN bench USING (gram)
+          GROUP BY g.doc_id
+          HAVING count(DISTINCT g.gram) >= {_DOCPREP_MIN_MATCHES}
+        )
+        SELECT s.doc_id, s.lang, s.quality_score
+        FROM surviving s
+        JOIN winners w USING (doc_id)
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+          AND {sample_sql_hash('s.doc_id', _SAMPLE_SEED)} < {thr}"""
 
 
 def _stratified_sample_oracle_sql() -> str:
@@ -1586,6 +1671,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _knn_ivf_oracle_sql("sf0.01"),
         "decontaminate": _decontam_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
+        "docprep": _docprep_oracle_sql(),
         "length_quantiles": """
             SELECT lang,
                    quantile_disc(n_chars, 0.5) AS p50,
@@ -1644,21 +1730,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[^ \t\n]+')) AS BIGINT)
                        AS n_ws_tokens
             FROM documents""",
-        "quality_score": """
-            SELECT doc_id, 0.25 * (
-              least(greatest(length(text) / 500.0, 0.0), 1.0)
-              + least(greatest(
-                  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS DOUBLE)
-                  / greatest(length(text) / 6.0, 1.0), 0.0), 1.0)
-              + (1.0 - least(greatest(
-                  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-                  / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
-                             AS DOUBLE), 1.0), 0.0), 1.0))
-              + least(greatest(
-                  CAST(len(regexp_extract_all(text, ' ')) AS DOUBLE)
-                  / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
-                             AS DOUBLE), 1.0), 0.0), 1.0)
-            ) AS quality_score FROM documents""",
+        "quality_score": f"""
+            SELECT doc_id, {_QUALITY_EXPR} AS quality_score
+            FROM documents""",
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

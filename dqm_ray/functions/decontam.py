@@ -49,6 +49,26 @@ def collect_benchmark_grams(bench_ds, *, text_col: str = "text",
     return np.unique(np.concatenate(parts))
 
 
+def _matched_per_doc(bench: np.ndarray, text, k: int) -> np.ndarray:
+    """Count of DISTINCT gram hashes each doc shares with the (sorted)
+    benchmark gram array — one searchsorted probe over the whole batch."""
+    n = len(text)
+    if n == 0 or len(bench) == 0:
+        return np.zeros(n, np.int64)
+    allg, _starts, counts = batch_gram_hashes(text, k)
+    pos = np.searchsorted(bench, allg)
+    pos[pos == len(bench)] = 0
+    hit = bench[pos] == allg
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)[hit]
+    gv = allg[hit]
+    # distinct (doc, gram) pairs — dedupe only the matched tail
+    order = np.lexsort((gv, doc_idx))
+    doc_idx, gv = doc_idx[order], gv[order]
+    first = np.ones(len(doc_idx), bool)
+    first[1:] = (doc_idx[1:] != doc_idx[:-1]) | (gv[1:] != gv[:-1])
+    return np.bincount(doc_idx[first], minlength=n)
+
+
 def decontaminate(ds, bench_grams: np.ndarray, *, id_col: str = "doc_id",
                   text_col: str = "text", k: int = DEFAULT_K,
                   batch_size: int = 512):
@@ -61,27 +81,33 @@ def decontaminate(ds, bench_grams: np.ndarray, *, id_col: str = "doc_id",
 
     def flag(batch: pa.Table) -> pa.Table:
         bench = ray.get(grams_ref)  # zero-copy view of the plasma buffer
-        n = len(batch)
-        out_id = batch.column(id_col).slice(0, 0)
-        out_n = pa.array([], pa.int64())
-        if n and len(bench):
-            allg, _starts, counts = batch_gram_hashes(
-                batch.column(text_col), k)
-            pos = np.searchsorted(bench, allg)
-            pos[pos == len(bench)] = 0
-            hit = bench[pos] == allg
-            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)[hit]
-            gv = allg[hit]
-            # distinct (doc, gram) pairs — dedupe only the matched tail
-            order = np.lexsort((gv, doc_idx))
-            doc_idx, gv = doc_idx[order], gv[order]
-            first = np.ones(len(doc_idx), bool)
-            first[1:] = (doc_idx[1:] != doc_idx[:-1]) | (gv[1:] != gv[:-1])
-            n_matched = np.bincount(doc_idx[first], minlength=n)
-            keep = n_matched > 0
-            out_id = batch.column(id_col).filter(pa.array(keep))
-            out_n = pa.array(n_matched[keep], pa.int64())
-        return pa.table({id_col: out_id, "n_matched": out_n})
+        n_matched = _matched_per_doc(bench, batch.column(text_col), k)
+        keep = n_matched > 0
+        return pa.table({
+            id_col: batch.column(id_col).filter(pa.array(keep)),
+            "n_matched": pa.array(n_matched[keep], pa.int64()),
+        })
 
     return ds.map_batches(flag, batch_format="pyarrow",
+                          batch_size=batch_size, num_cpus=1)
+
+
+def filter_clean(ds, bench_grams: np.ndarray, *, text_col: str = "text",
+                 k: int = DEFAULT_K, batch_size: int = 512,
+                 min_matches: int = 1):
+    """Drop contaminated documents in place (rows sharing >=
+    ``min_matches`` distinct grams with the benchmark set), keeping the
+    batch schema — the filter form of :func:`decontaminate` for use
+    inside larger pipelines. ``min_matches > 1`` tolerates incidental
+    boilerplate overlap and flags only substantive leakage."""
+    import ray
+
+    grams_ref = ray.put(np.sort(np.asarray(bench_grams, dtype=np.uint64)))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        bench = ray.get(grams_ref)
+        n_matched = _matched_per_doc(bench, batch.column(text_col), k)
+        return batch.filter(pa.array(n_matched < min_matches))
+
+    return ds.map_batches(flt, batch_format="pyarrow",
                           batch_size=batch_size, num_cpus=1)

@@ -1,0 +1,58 @@
+"""End-to-end LLM training-data prep over a documents table:
+
+    quality filter → exact dedup → benchmark decontamination →
+    deterministic stratified sample
+
+Each stage is an individually-oracled operator; this composes them into
+one streaming pipeline whose ENTIRE chain still has an exact SQL
+oracle (the `docprep` query) — a user's real data-prep run, verifiable
+end to end.
+
+Scale shape: two content passes total — one for the dedup winner
+aggregate (compact (id, sha) rows through the only shuffle), one
+fused scoring→filter→decontam-probe→sample pass. The benchmark gram
+set and the dedup winner-id set are broadcast once (`ray.put`);
+everything else is a per-batch vectorized kernel with no
+materialization of the corpus. At extreme scale, persist the qualified
+subset to parquet between the two passes instead of recomputing the
+quality filter (the filewise-runner pattern in pipelines/quality.py).
+
+Reference parity: the composite mirrors the reference's DFModule
+chain-of-checks (one pipeline instance running ordered named checks,
+include/dqm/Pipeline.hpp registry semantics) at corpus scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def run_docprep(docs, *, bench_grams: np.ndarray,
+                q_threshold: float = 0.5, rates: dict | None = None,
+                base_rate: float = 0.1, seed: int = 11, k: int = 13,
+                min_matches: int = 1,
+                id_col: str = "doc_id", text_col: str = "text",
+                stratum_col: str = "lang"):
+    """Run the prep chain over a documents Dataset. Both content passes
+    (dedup winner aggregate; fused output pass) re-execute the lazy
+    scoring lineage — nothing materializes the corpus."""
+    from dqm_ray.functions.decontam import filter_clean
+    from dqm_ray.functions.dedup import exact_dedup
+    from dqm_ray.functions.sampling import hash_sample
+    from dqm_ray.functions.text import quality_score_batch
+
+    def score_and_filter(batch: pa.Table) -> pa.Table:
+        batch = quality_score_batch(batch, text_col=text_col)
+        return batch.filter(
+            pc.greater_equal(batch.column("quality_score"), q_threshold))
+
+    qualified = docs.map_batches(score_and_filter, batch_format="pyarrow",
+                                 num_cpus=1)
+    deduped = exact_dedup(qualified, text_col=text_col, id_col=id_col)
+    clean = filter_clean(deduped, bench_grams, text_col=text_col, k=k,
+                         min_matches=min_matches)
+    sampled = hash_sample(clean, key_col=id_col, rate=base_rate,
+                          seed=seed, stratum_col=stratum_col, rates=rates)
+    return sampled.select_columns([id_col, stratum_col, "quality_score"])

@@ -179,3 +179,48 @@ def test_top_terms_min_len_filters_single_letters(ray_session):
     t = pa.table({"text": pa.array(["a b c dd dd e"])})
     out = top_terms(_ds(t), k=10).to_pandas()
     assert list(out["term"]) == ["dd"]
+
+
+# ---------------------------------------------------------------------------
+# composed docprep pipeline
+# ---------------------------------------------------------------------------
+
+def test_docprep_composition(ray_session):
+    """quality filter → exact dedup → decontam → sample, end to end:
+    every output row satisfies all four stage contracts."""
+    from dqm_ray.functions.decontam import (collect_benchmark_grams,
+                                            _matched_per_doc)
+    from dqm_ray.functions.text import quality_score_batch
+    from dqm_ray.pipelines.docprep import run_docprep
+
+    rng = np.random.default_rng(17)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(rng.choice(words, size=rng.integers(30, 80)))
+             for _ in range(120)]
+    texts[5] = texts[4]          # planted exact duplicate (4 wins)
+    bench_text = texts[7]        # doc 7 is fully contaminated
+    t = pa.table({
+        "doc_id": pa.array(np.arange(120, dtype=np.int64)),
+        "lang": pa.array(["en", "de"] * 60),
+        "text": pa.array(texts),
+    })
+    bench = pa.table({"doc_id": pa.array([999], pa.int64()),
+                      "text": pa.array([bench_text])})
+    grams = collect_benchmark_grams(_ds(bench), k=13)
+    out = run_docprep(_ds(t), bench_grams=grams, rates={"en": 0.9},
+                      base_rate=0.9, seed=2, k=13,
+                      min_matches=40).to_pandas()
+    assert len(out) > 0
+    assert set(out.columns) == {"doc_id", "lang", "quality_score"}
+    assert 5 not in set(out["doc_id"])       # dup loses to min id
+    assert 7 not in set(out["doc_id"])       # contaminated dropped
+    # every surviving row passes the quality threshold
+    scored = quality_score_batch(t).to_pandas().set_index("doc_id")
+    for did in out["doc_id"]:
+        assert scored.loc[did, "quality_score"] >= 0.5
+    # decontam contract: no survivor shares >= 40 grams with bench
+    bench_sorted = np.sort(grams)
+    nm = _matched_per_doc(bench_sorted, t.column("text").combine_chunks(),
+                          13)
+    for did in out["doc_id"]:
+        assert nm[did] < 40
