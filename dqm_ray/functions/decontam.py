@@ -26,7 +26,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from dqm_ray.functions.dedup import batch_gram_hashes
+from dqm_ray.functions.dedup import (_poly_hash,
+                                     _rolling_gram_hashes,
+                                     batch_gram_hashes)
 
 DEFAULT_K = 13  # bytes per gram — standard contamination n-gram order
 
@@ -49,24 +51,78 @@ def collect_benchmark_grams(bench_ds, *, text_col: str = "text",
     return np.unique(np.concatenate(parts))
 
 
+_PRE_BITS = 22  # low-bits membership prefilter (4 MB, L3-resident)
+
+
+def _distinct_count(doc_idx: np.ndarray, p: np.ndarray, n: int,
+                    nb: int) -> np.ndarray:
+    """Distinct (doc, bench-slot) count per doc. On boilerplate-heavy
+    corpora most grams hit, so a sort-based dedupe would dominate the
+    whole op; a doc x slot bitset turns it into random byte stores + a
+    row-sum. Falls back to a single-key sort when the bitset would
+    exceed ~256 MB (huge benchmark set)."""
+    if n * nb <= (1 << 28):
+        seen = np.zeros(n * nb, dtype=bool)
+        seen[doc_idx * nb + p] = True
+        return seen.reshape(n, nb).sum(axis=1).astype(np.int64)
+    key = np.unique(doc_idx * nb + p)
+    return np.bincount(key // nb, minlength=n)
+
+
 def _matched_per_doc(bench: np.ndarray, text, k: int) -> np.ndarray:
     """Count of DISTINCT gram hashes each doc shares with the (sorted)
-    benchmark gram array — one searchsorted probe over the whole batch."""
+    benchmark gram array.
+
+    Probes the raw utf8 buffer's rolling hashes directly: a 2^22-bit
+    low-bits bitset prefilters ~all misses with one L3 gather per gram
+    (real benchmark sets hit ≪1% of corpus grams), survivors go through
+    binary search, and only confirmed hits are mapped to their doc (one
+    searchsorted against the offsets) — no per-doc gram gather at all."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
     n = len(text)
-    if n == 0 or len(bench) == 0:
+    nb = len(bench)
+    if n == 0 or nb == 0:
         return np.zeros(n, np.int64)
-    allg, _starts, counts = batch_gram_hashes(text, k)
-    pos = np.searchsorted(bench, allg)
-    pos[pos == len(bench)] = 0
-    hit = bench[pos] == allg
-    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)[hit]
-    gv = allg[hit]
-    # distinct (doc, gram) pairs — dedupe only the matched tail
-    order = np.lexsort((gv, doc_idx))
-    doc_idx, gv = doc_idx[order], gv[order]
-    first = np.ones(len(doc_idx), bool)
-    first[1:] = (doc_idx[1:] != doc_idx[:-1]) | (gv[1:] != gv[:-1])
-    return np.bincount(doc_idx[first], minlength=n)
+    from dqm_ray.stages.rules import string_buffer_view
+
+    view = string_buffer_view(text)
+    if view is None:  # null rows present: generic (rare) path
+        allg, _starts, counts = batch_gram_hashes(text, k)
+        pos = np.searchsorted(bench, allg)
+        pos[pos == nb] = 0
+        hit = bench[pos] == allg
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)[hit]
+        return _distinct_count(doc_idx, pos[hit].astype(np.int64), n, nb)
+    data, offs = view
+    offs = offs.astype(np.int64)
+    g = _rolling_gram_hashes(data, k)
+    msk = np.uint64((1 << _PRE_BITS) - 1)
+    pre = np.zeros(1 << _PRE_BITS, dtype=bool)
+    pre[(bench & msk).astype(np.int64)] = True
+    cand = np.nonzero(pre[(g & msk).astype(np.int64)])[0]
+    pos = np.searchsorted(bench, g[cand])
+    pos[pos == nb] = 0
+    hitm = bench[pos] == g[cand]
+    hit_idx, hit_pos = cand[hitm], pos[hitm].astype(np.int64)
+    doc = np.searchsorted(offs, hit_idx, side="right") - 1
+    inside = hit_idx + k <= offs[doc + 1]  # drop doc-straddling grams
+    doc, hit_pos = doc[inside], hit_pos[inside]
+    # docs shorter than k hash as one whole-doc gram (rare)
+    short = np.nonzero(np.diff(offs) < k)[0]
+    if len(short):
+        extra_d, extra_p = [], []
+        for i in short:
+            h = _poly_hash(data[offs[i]:offs[i + 1]])
+            j = int(np.searchsorted(bench, h))
+            if j < nb and bench[j] == h:
+                extra_d.append(i)
+                extra_p.append(j)
+        if extra_d:
+            doc = np.concatenate([doc, np.array(extra_d, np.int64)])
+            hit_pos = np.concatenate([hit_pos,
+                                      np.array(extra_p, np.int64)])
+    return _distinct_count(doc, hit_pos, n, nb)
 
 
 def decontaminate(ds, bench_grams: np.ndarray, *, id_col: str = "doc_id",
