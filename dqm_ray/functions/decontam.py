@@ -96,15 +96,34 @@ def _matched_per_doc(bench: np.ndarray, text, k: int) -> np.ndarray:
         return _distinct_count(doc_idx, pos[hit].astype(np.int64), n, nb)
     data, offs = view
     offs = offs.astype(np.int64)
-    g = _rolling_gram_hashes(data, k)
     msk = np.uint64((1 << _PRE_BITS) - 1)
     pre = np.zeros(1 << _PRE_BITS, dtype=bool)
     pre[(bench & msk).astype(np.int64)] = True
-    cand = np.nonzero(pre[(g & msk).astype(np.int64)])[0]
-    pos = np.searchsorted(bench, g[cand])
-    pos[pos == nb] = 0
-    hitm = bench[pos] == g[cand]
-    hit_idx, hit_pos = cand[hitm], pos[hitm].astype(np.int64)
+    # chunked fused hash→prefilter→probe: the rolling-hash uint64
+    # temporaries are ~25x the text bytes, so computing the whole
+    # buffer's grams first makes the op DRAM-bound and 32 workers
+    # saturate the host's memory channels (measured 12x per-core
+    # degradation). Per-L2-sized chunk, temporaries stay cache-resident
+    # and only text (once) and confirmed hits touch DRAM.
+    chunk = 128 << 10
+    idx_parts, pos_parts = [], []
+    for c0 in range(0, max(len(data) - k + 1, 0), chunk):
+        seg = data[c0: c0 + chunk + k - 1]
+        g = _rolling_gram_hashes(seg, k)
+        cand = np.nonzero(pre[(g & msk).astype(np.int64)])[0]
+        if not len(cand):
+            continue
+        pos = np.searchsorted(bench, g[cand])
+        pos[pos == nb] = 0
+        hitm = bench[pos] == g[cand]
+        idx_parts.append(c0 + cand[hitm])
+        pos_parts.append(pos[hitm].astype(np.int64))
+    if idx_parts:
+        hit_idx = np.concatenate(idx_parts)
+        hit_pos = np.concatenate(pos_parts)
+    else:
+        hit_idx = np.zeros(0, np.int64)
+        hit_pos = np.zeros(0, np.int64)
     doc = np.searchsorted(offs, hit_idx, side="right") - 1
     inside = hit_idx + k <= offs[doc + 1]  # drop doc-straddling grams
     doc, hit_pos = doc[inside], hit_pos[inside]
