@@ -229,14 +229,30 @@ class MinHashStage:
         n = len(text)
         if n == 0:
             return np.zeros((0, self.num_perm), np.uint64)
-        allg, starts, _counts = batch_gram_hashes(text, self.k)
-        # one contiguous 1D multiply-add + segment-min per permutation:
-        # cache-friendly (the 2D broadcast layout measured 25x slower)
-        # and peak extra memory is one n_grams x 8 B temporary
+        allg, starts, counts = batch_gram_hashes(text, self.k)
+        # 1D multiply-add + segment-min per permutation (2D broadcast
+        # layout measured 25x slower), applied per ~32K-gram doc chunk:
+        # num_perm passes over a cache-resident segment instead of the
+        # whole gram array, so 32 workers don't saturate DRAM (same fix
+        # as the decontam probe; single-core 1.4x, multi-worker more)
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        for j in range(self.num_perm):
-            v = self.a[j] * allg + self.b[j]
-            sigs[:, j] = np.minimum.reduceat(v, starts)
+        target = 32768
+        total = len(allg)
+        d0 = 0
+        while d0 < n:
+            d1 = d0 + 1
+            gsum = int(counts[d0])
+            while d1 < n and gsum + counts[d1] <= target:
+                gsum += int(counts[d1])
+                d1 += 1
+            g0 = int(starts[d0])
+            g1 = int(starts[d1]) if d1 < n else total
+            seg = allg[g0:g1]
+            segstarts = (starts[d0:d1] - g0).astype(np.int64)
+            for j in range(self.num_perm):
+                v = self.a[j] * seg + self.b[j]
+                sigs[d0:d1, j] = np.minimum.reduceat(v, segstarts)
+            d0 = d1
         return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
