@@ -925,6 +925,18 @@ def _q_docprep(sf_dir: str):
                        k=_DECONTAM_K, min_matches=_DOCPREP_MIN_MATCHES)
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (vector aggregate): batches reduce
+    to one (sum-vector, count) row per label before the shuffle."""
+    import ray.data as rd
+
+    from dqm_ray.functions.similarity import label_centroids
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["label", "embedding"])
+    return label_centroids(ds)
+
+
 def _q_top_terms(sf_dir: str):
     """Corpus heavy hitters: top-100 lowercase word tokens by frequency
     (ties by term) — per-batch Arrow tokenize + value_counts, vocabulary-
@@ -979,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": _q_length_quantiles,
         "top_terms": _q_top_terms,
         "docprep": _q_docprep,
+        "label_centroids": _q_label_centroids,
     }
 
 
@@ -1672,6 +1685,12 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontam_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "docprep": _docprep_oracle_sql(),
+        "label_centroids": """
+            SELECT label, j AS dim,
+                   round(sum(CAST(embedding[CAST(j+1 AS INT)] AS DOUBLE))
+                         / count(*), 6) AS centroid
+            FROM embeddings, unnest(range(0, len(embedding))) t(j)
+            GROUP BY label, j""",
         "length_quantiles": """
             SELECT lang,
                    quantile_disc(n_chars, 0.5) AS p50,

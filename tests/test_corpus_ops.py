@@ -224,3 +224,27 @@ def test_docprep_composition(ray_session):
                           13)
     for did in out["doc_id"]:
         assert nm[did] < 40
+
+
+# ---------------------------------------------------------------------------
+# label centroids (vector aggregate)
+# ---------------------------------------------------------------------------
+
+def test_label_centroids_matches_numpy(ray_session):
+    from dqm_ray.functions.similarity import label_centroids
+
+    rng = np.random.default_rng(3)
+    n, d = 1_000, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    labs = rng.integers(0, 4, size=n).astype(np.int32)
+    t = pa.table({
+        "label": pa.array(labs),
+        "embedding": pa.array(list(mat), pa.list_(pa.float32(), d)),
+    })
+    out = label_centroids(_ds(t), round_to=6).to_pandas()
+    assert len(out) == 4 * d
+    for lab in range(4):
+        want = np.round(mat[labs == lab].astype(np.float64).mean(axis=0), 6)
+        got = out[out["label"] == lab].sort_values("dim")["centroid"] \
+            .to_numpy()
+        np.testing.assert_allclose(got, want, atol=1.1e-6)
