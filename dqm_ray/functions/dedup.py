@@ -255,47 +255,105 @@ class MinHashStage:
             d0 = d1
         return sigs
 
+    def bucket_keys(self, sigs: np.ndarray) -> np.ndarray:
+        """(n, bands) int64 bucket keys. Band hash = polynomial combine
+        of the band's signature rows (uint64 wraparound) —
+        SQL-expressible, so the DuckDB oracle can reproduce the exact
+        bucketing. The band index is mixed into one combined key: rare
+        cross-band collisions only add candidate pairs, which the
+        Jaccard verify step filters — never lose true pairs."""
+        n = len(sigs)
+        band_views = sigs.reshape(n, self.bands, self.rows_per_band)
+        band_hash = band_views[:, :, 0].copy()
+        for r in range(1, self.rows_per_band):
+            band_hash = band_hash * _POLY_P + band_views[:, :, r]
+        band_off = (np.arange(self.bands, dtype=np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15))
+        return (band_hash + band_off).view(np.int64)
+
+    def doc_table(self, batch: pa.Table) -> pa.Table:
+        """One COMPACT row per doc: (id, sig, bucket_keys) — the sig is
+        stored once, not once per band (16x smaller materialization than
+        band rows with ride-along signatures)."""
+        ids = batch.column(self.id_col)
+        n = len(batch)
+        sigs = self.signatures_batch(
+            batch.column(self.text_col).combine_chunks())
+        bks = self.bucket_keys(sigs)
+        return pa.table({
+            self.id_col: ids,
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.ravel(), pa.uint64()), self.num_perm),
+            "bucket_keys": pa.FixedSizeListArray.from_arrays(
+                pa.array(bks.ravel(), pa.int64()), self.bands),
+        })
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         n = len(batch)
         sigs = self.signatures_batch(
             batch.column(self.text_col).combine_chunks())
-        band_views = sigs.reshape(n, self.bands, self.rows_per_band)
-        # band hash = polynomial combine of the band's signature rows
-        # (uint64 wraparound) — SQL-expressible, so the DuckDB oracle can
-        # reproduce the exact bucketing
-        band_hash = band_views[:, :, 0].copy()
-        for r in range(1, self.rows_per_band):
-            band_hash = band_hash * _POLY_P + band_views[:, :, r]
+        bucket_key = self.bucket_keys(sigs).ravel()
         out_ids = np.repeat(ids, self.bands)
-        out_band = np.tile(np.arange(self.bands, dtype=np.uint64), n)
-        # single combined bucket key (band mixed into the hash): rare
-        # cross-band collisions only add candidate pairs, which the
-        # Jaccard verify step filters — never lose true pairs
-        bucket_key = (band_hash.ravel()
-                      + out_band * np.uint64(0x9E3779B97F4A7C15)).view(np.int64)
         # signature rides along per band row (num_perm × 8 B — compact vs
         # shipping text) so bucket groups can estimate Jaccard locally
         sig_rep = np.repeat(sigs, self.bands, axis=0)
         return pa.table({
             self.id_col: pa.array(out_ids),
             "bucket_key": pa.array(bucket_key, pa.int64()),
-            "sig": pa.array(list(sig_rep), pa.list_(pa.uint64(), self.num_perm)),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig_rep.ravel(), pa.uint64()), self.num_perm),
         })
 
 
 _MINHASH_CACHE: dict = {}
 
 
-def _minhash_sig_fn(batch: pa.Table, **params) -> pa.Table:
-    """Task-pool twin of MinHashStage: stage built once per worker
-    process (keyed by params), reused by every task landing there."""
+def _minhash_stage(**params) -> "MinHashStage":
     key = tuple(sorted(params.items()))
     stage = _MINHASH_CACHE.get(key)
     if stage is None:
         stage = MinHashStage(**params)
         _MINHASH_CACHE[key] = stage
-    return stage(batch)
+    return stage
+
+
+def _minhash_sig_fn(batch: pa.Table, **params) -> pa.Table:
+    """Task-pool twin of MinHashStage: stage built once per worker
+    process (keyed by params), reused by every task landing there."""
+    return _minhash_stage(**params)(batch)
+
+
+def _minhash_doc_fn(batch: pa.Table, **params) -> pa.Table:
+    """Task-pool twin of MinHashStage.doc_table (compact per-doc rows)."""
+    return _minhash_stage(**params).doc_table(batch)
+
+
+def _explode_bands(batch: pa.Table, *, id_col: str,
+                   with_sig: bool) -> pa.Table:
+    """Per-doc rows → per-band rows. Slim form ships (id, bucket_key)
+    only — 16 B x bands per doc through every shuffle; the wide form
+    repeats the signature per band (the beyond-broadcast fallback)."""
+    bk_col = batch.column("bucket_keys")
+    if isinstance(bk_col, pa.ChunkedArray):
+        bk_col = bk_col.combine_chunks()
+    bands = bk_col.type.list_size
+    ids = np.repeat(
+        batch.column(id_col).to_numpy(zero_copy_only=False), bands)
+    bks = bk_col.flatten().to_numpy(zero_copy_only=False)
+    cols = {id_col: pa.array(ids),
+            "bucket_key": pa.array(bks, pa.int64())}
+    if with_sig:
+        sig_col = batch.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        num_perm = sig_col.type.list_size
+        mat = sig_col.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(batch), num_perm)
+        rep = np.repeat(mat, bands, axis=0)
+        cols["sig"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(rep.ravel(), pa.uint64()), num_perm)
+    return pa.table(cols)
 
 
 def keep_multi_member_buckets(ds, key: str):
@@ -306,7 +364,9 @@ def keep_multi_member_buckets(ds, key: str):
     (per-group Python) pair stage."""
     import ray
 
-    counts = ds.groupby(key).count()
+    # count on the key column alone: the count shuffle moves 8 B/row
+    # even when the input rows are wide (e.g. ride-along signatures)
+    counts = ds.select_columns([key]).groupby(key).count()
     hot = counts.map_batches(
         lambda t: t.filter(pa.compute.greater(t["count()"], 1)),
         batch_format="pyarrow").to_pandas()
@@ -364,19 +424,12 @@ def _bucket_pairs(ids: np.ndarray, sigs: np.ndarray):
     return sa, sb, se
 
 
-def _pairs_from_part(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    """Candidate pairs for a whole HASH-PART of buckets in one call —
-    many tiny bucket groups per map_groups invocation instead of one
-    (per-group dispatch over 10k+ tiny groups is the documented
-    many-tiny-groups pathology). Inside: one sort, contiguous numpy
-    slices per bucket."""
-    df = df.drop_duplicates(subset=["bucket_key", id_col]) \
-        .sort_values(["bucket_key", id_col])
-    ids_all = df[id_col].to_numpy()
-    bk = df["bucket_key"].to_numpy()
+def _pairs_from_sorted(ids_all: np.ndarray, bk: np.ndarray,
+                       sig_all: np.ndarray) -> pd.DataFrame:
+    """Bucket loop over (bucket_key, id)-sorted rows: contiguous numpy
+    slices per bucket, one DataFrame out."""
     out_a, out_b, out_e = [], [], []
-    if len(df):
-        sig_all = np.stack(df["sig"].to_numpy())
+    if len(ids_all):
         bounds = np.nonzero(np.concatenate(
             ([True], bk[1:] != bk[:-1], [True])))[0]
         for s, e in zip(bounds[:-1], bounds[1:]):
@@ -391,6 +444,36 @@ def _pairs_from_part(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
     return pd.DataFrame({"id_a": np.concatenate(out_a),
                          "id_b": np.concatenate(out_b),
                          "est_jaccard": np.concatenate(out_e)})
+
+
+def _pairs_from_part(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Candidate pairs for a whole HASH-PART of buckets in one call —
+    many tiny bucket groups per map_groups invocation instead of one
+    (per-group dispatch over 10k+ tiny groups is the documented
+    many-tiny-groups pathology). Signatures ride along in the rows."""
+    df = df.drop_duplicates(subset=["bucket_key", id_col]) \
+        .sort_values(["bucket_key", id_col])
+    sig_all = np.stack(df["sig"].to_numpy()) if len(df) else \
+        np.zeros((0, 0), np.uint64)
+    return _pairs_from_sorted(df[id_col].to_numpy(),
+                              df["bucket_key"].to_numpy(), sig_all)
+
+
+def _pairs_from_part_bcast(df: pd.DataFrame, id_col: str,
+                           sig_ref) -> pd.DataFrame:
+    """Broadcast-signature variant: rows carry only (id, bucket_key);
+    each part gathers its signatures from the ray.put (ids, matrix)
+    pair — zero-copy plasma views, one searchsorted per part."""
+    import ray
+
+    ids_sorted, mat = ray.get(sig_ref)
+    df = df.drop_duplicates(subset=["bucket_key", id_col]) \
+        .sort_values(["bucket_key", id_col])
+    ids_all = df[id_col].to_numpy()
+    sig_all = mat[np.searchsorted(ids_sorted, ids_all)] if len(df) else \
+        np.zeros((0, 0), np.uint64)
+    return _pairs_from_sorted(ids_all, df["bucket_key"].to_numpy(),
+                              sig_all)
 
 
 def connected_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
@@ -448,7 +531,17 @@ def connected_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
             lambda t: pa.table({"node": t.column("node"),
                                 "label": t.column("min(label)")}),
             batch_format="pyarrow").materialize()
-        s = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        # overflow-proof exact sum: full-range int64 labels can overflow
+        # a single int64 accumulator, so sum the high and low 32-bit
+        # halves separately — the pair encodes the exact big-int sum
+        def split32(t: pa.Table) -> pa.Table:
+            lab = t.column("label").to_numpy(zero_copy_only=False)
+            return pa.table({"hi": pa.array(lab >> 32),
+                             "lo": pa.array(lab & 0xFFFFFFFF)})
+        agg = labels.map_batches(split32, batch_format="pyarrow") \
+            .aggregate(Sum("hi", alias_name="hi"),
+                       Sum("lo", alias_name="lo"))
+        s = (agg["hi"], agg["lo"])
         if s == prev_sum:  # labels non-increasing ⇒ equal sum = converged
             break
         prev_sum = s
@@ -459,7 +552,8 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
                       num_perm: int = 128, bands: int = 16, shingle_k: int = 5,
                       threshold: float = 0.8, concurrency=None,
                       batch_size: int = 512,
-                      cc_pair_threshold: int = 2_000_000):
+                      cc_pair_threshold: int = 2_000_000,
+                      broadcast_sig_limit: int = 2_000_000):
     """Near-dup detection: shingle → minhash → band → bucket groupby →
     candidate pairs → signature-Jaccard verify → connected components.
 
@@ -479,23 +573,60 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     """
     import functools
 
+    import ray
+
     # elastic task pool with a per-worker-process stage cache (the same
     # amortization as an actor pool — permutation tables built once per
     # worker — without fixed-pool spin-up or sizing; `concurrency`
-    # optionally caps it)
+    # optionally caps it). One content pass emits COMPACT per-doc rows
+    # (sig stored once, not once per band). At extreme scale, write
+    # per_doc to parquet instead of materialize and read twice.
     params = dict(id_col=id_col, text_col=text_col, num_perm=num_perm,
                   bands=bands, shingle_k=shingle_k)
-    sig_ds = ds.map_batches(
-        functools.partial(_minhash_sig_fn, **params),
+    per_doc = ds.map_batches(
+        functools.partial(_minhash_doc_fn, **params),
         batch_format="pyarrow", batch_size=batch_size, num_cpus=1,
-        **({"concurrency": concurrency} if concurrency else {}))
+        **({"concurrency": concurrency} if concurrency else {})) \
+        .materialize()
+    n_docs = per_doc.count()
 
-    # signatures are consumed twice (bucket count + pair extraction):
-    # materialize the COMPACT signature rows (~(num_perm+2)×8 B/row — never
-    # the text). At extreme scale, write them to parquet instead and read
-    # twice; the content pass still happens exactly once.
-    sig_ds = sig_ds.select_columns([id_col, "bucket_key", "sig"]).materialize()
-    sig_ds = keep_multi_member_buckets(sig_ds, "bucket_key")
+    # ≤ broadcast_sig_limit docs (default 2M ≈ 2 GB at 128 perms): ship
+    # ONLY (id, bucket_key) rows through the bucket shuffles and gather
+    # signatures per part from one ray.put broadcast — 16 B x bands per
+    # doc moves instead of the 1 KB signature per band row (measured 3x
+    # end-to-end on a 200k-file corpus). Beyond the limit, fall back to
+    # the classic LSH ride-along (sig repeated per band row), which
+    # never broadcasts anything doc-proportional.
+    broadcast = n_docs <= broadcast_sig_limit
+    band_rows = per_doc.map_batches(
+        functools.partial(_explode_bands, id_col=id_col,
+                          with_sig=not broadcast),
+        batch_format="pyarrow")
+    band_rows = keep_multi_member_buckets(band_rows, "bucket_key")
+
+    if broadcast:
+        ids_parts, sig_parts = [], []
+        for b in per_doc.select_columns([id_col, "sig"]) \
+                .iter_batches(batch_size=8192, batch_format="pyarrow"):
+            ids_parts.append(
+                b.column(id_col).to_numpy(zero_copy_only=False))
+            sig_col = b.column("sig")
+            if isinstance(sig_col, pa.ChunkedArray):
+                sig_col = sig_col.combine_chunks()
+            sig_parts.append(
+                sig_col.flatten().to_numpy(zero_copy_only=False)
+                .reshape(len(b), num_perm))
+        ids_arr = np.concatenate(ids_parts) if ids_parts else \
+            np.zeros(0, np.int64)
+        mat = np.concatenate(sig_parts) if sig_parts else \
+            np.zeros((0, num_perm), np.uint64)
+        order = np.argsort(ids_arr, kind="stable")
+        sig_ref = ray.put((ids_arr[order], mat[order]))
+        pair_fn = functools.partial(_pairs_from_part_bcast,
+                                    id_col=id_col, sig_ref=sig_ref)
+    else:
+        pair_fn = functools.partial(_pairs_from_part, id_col=id_col)
+
     def add_part(batch: pa.Table, n_parts: int = 64) -> pa.Table:
         k = batch.column("bucket_key").to_numpy(zero_copy_only=False)
         part = (pd.util.hash_array(k.astype(np.int64))
@@ -505,10 +636,8 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     # co-locate buckets by hash-part (64 groups), extract pairs for a
     # whole part per call — same shuffle volume, none of the per-tiny-
     # group dispatch cost
-    pairs = sig_ds.map_batches(add_part, batch_format="pyarrow") \
-        .groupby("part").map_groups(
-            functools.partial(_pairs_from_part, id_col=id_col),
-            batch_format="pandas")
+    pairs = band_rows.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(pair_fn, batch_format="pandas")
     # signature-estimated Jaccard is a pure function of the pair, so the
     # same pair surfacing from several bands carries the same estimate —
     # filter before any dedup/collect

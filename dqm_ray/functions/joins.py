@@ -49,6 +49,13 @@ def partitioned_hash_join(left, right, *, on: str, num_buckets: int = 32,
     exceeds a worker's memory.
     """
 
+    # capture each side's schema up front: the mixed-schema union fills
+    # the other side's columns with nulls, and guessing them back via
+    # dropna (the old pandas path) silently promoted int64 to float64 —
+    # corrupting ids beyond 2^53 (hash-derived keys at corpus scale)
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
             key = batch.column(on).to_numpy(zero_copy_only=False)
@@ -61,18 +68,21 @@ def partitioned_hash_join(left, right, *, on: str, num_buckets: int = 32,
 
     both = left.map_batches(tag(0), batch_format="pyarrow").union(
         right.map_batches(tag(1), batch_format="pyarrow"))
+    rnames = [c if c == on else (c + suffix if c in set(lcols) else c)
+              for c in rcols]
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == 0].drop(columns=["__side", "__bucket"])
-        r = g[g["__side"] == 1].drop(columns=["__side", "__bucket"])
-        l = l.dropna(axis=1, how="all")
-        r = r.dropna(axis=1, how="all")
-        if not len(l) or not len(r):
-            return pd.DataFrame()
-        return l.merge(r, on=on, how="inner", suffixes=("", suffix))
+    def join_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = g.column("__side")
+        l = g.filter(pc.equal(side, 0)).select(lcols)
+        r = g.filter(pc.equal(side, 1)).select(rcols) \
+            .rename_columns(rnames)
+        # arrow-native join: int64 keys/payloads stay int64 end to end
+        return l.join(r, keys=on, join_type="inner")
 
     return both.groupby("__bucket").map_groups(join_bucket,
-                                               batch_format="pandas")
+                                               batch_format="pyarrow")
 
 
 def asof_join(left, right, *, by: str, on: str, suffix: str = "_r",

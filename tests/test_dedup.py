@@ -135,3 +135,39 @@ def test_minhash_lsh_distributed_components_match_driver(ray_session):
     b = sorted(zip(dup_dist["doc_id"].to_pylist(),
                    dup_dist["dup_group"].to_pylist()))
     assert a == b and len(a) > 0
+
+
+def test_connected_components_full_range_int64_ids(ray_session):
+    """Hash-derived ids use the full int64 range; the label propagation
+    must not round them through float64 (regression: mixed-schema union
+    promoted null-filled int64 to float64) nor overflow the convergence
+    sum (regression: single int64 accumulator)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dqm_ray.functions.dedup import connected_components
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(-2**63, 2**63 - 1, size=600, dtype=np.int64)
+    a, b = ids[:-1:2], ids[1::2][: len(ids[:-1:2])]
+    pairs = rd.from_pandas(
+        pd.DataFrame({"id_a": a, "id_b": b, "est_jaccard": 1.0})) \
+        .map_batches(lambda df: df, batch_format="pandas")
+    lab = connected_components(pairs).to_pandas()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {int(x): int(find(x)) for x in np.concatenate([a, b])}
+    got = dict(zip(lab["node"].astype(np.int64),
+                   lab["label"].astype(np.int64)))
+    assert got == want
