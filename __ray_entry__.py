@@ -937,6 +937,42 @@ def _q_label_centroids(sf_dir: str):
     return label_centroids(ds)
 
 
+def _q_events_in_window(sf_dir: str):
+    """Range join (interval containment): for each purchase, count
+    same-user events in the preceding 30 minutes — binned interval
+    join (one bin per point, hash-part co-location), no all-pairs."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from dqm_ray.functions.joins import interval_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    half_hour_us = 30 * 60 * 1_000_000
+
+    def mk_intervals(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        ts = t.column("ts").cast(pa.int64())
+        return pa.table({
+            "purchase_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "w_start": pc.subtract(ts, half_hour_us),
+            "w_end": ts,
+        })
+
+    intervals = rd.read_parquet(
+        path, columns=["event_id", "user_id", "event_type", "ts"]) \
+        .map_batches(mk_intervals, batch_format="pyarrow")
+    points = rd.read_parquet(path, columns=["event_id", "user_id", "ts"])
+    pairs = interval_join(
+        intervals, points, by="user_id", start_col="w_start",
+        end_col="w_end", point_col="ts", int_id="purchase_id",
+        point_id="event_id", bin_width_us=half_hour_us)
+    out = pairs.groupby("purchase_id").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["purchase_id", "n"]),
+        batch_format="pyarrow")
+
+
 def _q_top_terms(sf_dir: str):
     """Corpus heavy hitters: top-100 lowercase word tokens by frequency
     (ties by term) — per-batch Arrow tokenize + value_counts, vocabulary-
@@ -992,6 +1028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "docprep": _q_docprep,
         "label_centroids": _q_label_centroids,
+        "events_in_window": _q_events_in_window,
     }
 
 
@@ -1685,6 +1722,13 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontam_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "docprep": _docprep_oracle_sql(),
+        "events_in_window": """
+            SELECT p.event_id AS purchase_id, count(*) AS n
+            FROM events p JOIN events e
+              ON e.user_id = p.user_id
+             AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id""",
         "label_centroids": """
             SELECT label, j AS dim,
                    round(sum(CAST(embedding[CAST(j+1 AS INT)] AS DOUBLE))

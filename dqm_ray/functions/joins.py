@@ -136,3 +136,107 @@ def asof_join(left, right, *, by: str, on: str, suffix: str = "_r",
         return pd.merge_asof(l, r, on=on, direction=direction)
 
     return both.groupby(by).map_groups(join_group, batch_format="pandas")
+
+
+def interval_join(intervals, points, *, by: str, start_col: str,
+                  end_col: str, point_col: str, int_id: str,
+                  point_id: str, bin_width_us: int, num_parts: int = 64):
+    """Pairs (int_id, point_id) where ``by`` matches and
+    ``start <= point <= end`` — the range-join Ray Data lacks natively.
+
+    Binning strategy: time is cut into ``bin_width_us`` bins; every
+    interval row emits one row per bin it touches, every point row
+    emits exactly one bin, and candidates co-locate via a hash-part
+    groupby on (by, bin) — the pandas merge + range filter runs on one
+    whole part per call (many tiny (by, bin) groups per invocation,
+    never one task per group). A point lives in exactly one bin, so a
+    pair can only surface once: no dedup pass needed.
+
+    Partitioning assumptions (document per deployment): interval length
+    should be O(bin_width) — an interval emits len/bin_width + 1 rows;
+    and a hot (by, bin) pair concentrates its candidates in one part,
+    so salt the ``by`` key upstream if a single key x bin exceeds a
+    worker's memory.
+    """
+
+    def to_us(arr) -> np.ndarray:
+        a = arr.to_numpy(zero_copy_only=False)
+        if np.issubdtype(a.dtype, np.datetime64):
+            return a.astype("datetime64[us]").astype(np.int64)
+        return a.astype(np.int64)
+
+    # both sides emit the FULL union schema with typed nulls — Ray's
+    # union does not align schemas, and a shuffle block holding only one
+    # side would otherwise lack the other side's columns (int64 ids stay
+    # int64; no pandas null→float64 promotion, the partitioned_hash_join
+    # lesson)
+    def tag_intervals(batch: pa.Table) -> pa.Table:
+        s = to_us(batch.column(start_col))
+        e = to_us(batch.column(end_col))
+        b0, b1 = s // bin_width_us, e // bin_width_us
+        reps = (b1 - b0 + 1).astype(np.int64)
+        rows = np.repeat(np.arange(len(batch)), reps)
+        bins = np.concatenate([np.arange(x, y + 1)
+                               for x, y in zip(b0, b1)]) \
+            if len(batch) else np.zeros(0, np.int64)
+        n = len(rows)
+        return pa.table({
+            "key": batch.column(by).take(pa.array(rows)),
+            "bin": pa.array(bins, pa.int64()),
+            "iid": batch.column(int_id).take(pa.array(rows))
+                   .cast(pa.int64()),
+            "s": pa.array(s[rows]),
+            "e": pa.array(e[rows]),
+            "pid": pa.nulls(n, pa.int64()),
+            "p": pa.nulls(n, pa.int64()),
+        })
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        p = to_us(batch.column(point_col))
+        n = len(batch)
+        return pa.table({
+            "key": batch.column(by),
+            "bin": pa.array(p // bin_width_us, pa.int64()),
+            "iid": pa.nulls(n, pa.int64()),
+            "s": pa.nulls(n, pa.int64()),
+            "e": pa.nulls(n, pa.int64()),
+            "pid": batch.column(point_id).cast(pa.int64()),
+            "p": pa.array(p),
+        })
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False)
+        b = batch.column("bin").to_numpy(zero_copy_only=False)
+        part = ((pd.util.hash_array(k.astype(np.int64))
+                 ^ pd.util.hash_array(b.astype(np.int64)))
+                % num_parts).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    left = intervals.map_batches(tag_intervals, batch_format="pyarrow") \
+        .map_batches(add_part, batch_format="pyarrow") \
+        .map_batches(lambda t: t.append_column(
+            "side", pa.array(np.zeros(len(t), np.int8))),
+            batch_format="pyarrow")
+    right = points.map_batches(tag_points, batch_format="pyarrow") \
+        .map_batches(add_part, batch_format="pyarrow") \
+        .map_batches(lambda t: t.append_column(
+            "side", pa.array(np.ones(len(t), np.int8))),
+            batch_format="pyarrow")
+
+    def join_part(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = g.column("side")
+        l = g.filter(pc.equal(side, 0)) \
+            .select(["key", "bin", "iid", "s", "e"])
+        r = g.filter(pc.equal(side, 1)) \
+            .select(["key", "bin", "pid", "p"])
+        j = l.join(r, keys=["key", "bin"], join_type="inner")
+        p = j.column("p").to_numpy(zero_copy_only=False)
+        s = j.column("s").to_numpy(zero_copy_only=False)
+        e = j.column("e").to_numpy(zero_copy_only=False)
+        j = j.filter(pa.array((p >= s) & (p <= e)))
+        return j.select(["iid", "pid"]).rename_columns([int_id, point_id])
+
+    return left.union(right).groupby("part") \
+        .map_groups(join_part, batch_format="pyarrow")

@@ -193,3 +193,35 @@ def test_asof_join_matches_pandas(ray_session):
     g = got["rv"].fillna(-1).tolist()
     w = want["rv"].fillna(-1).tolist()
     assert g == w
+
+
+def test_interval_join_containment(ray_session):
+    """Binned range join: exact containment, cross-key exclusion, and
+    intervals spanning many bins."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dqm_ray.functions.joins import interval_join
+
+    intervals = pd.DataFrame({
+        "iid": [1, 2, 3],
+        "k": [10, 10, 20],
+        "s": [100, 250, 0],
+        "e": [200, 260, 1000],   # iid=3 spans many bins (width 50)
+    })
+    points = pd.DataFrame({
+        "pid": [101, 102, 103, 104, 105, 106],
+        "k":   [10, 10, 10, 20, 20, 30],
+        "p":   [150, 201, 255, 500, 1001, 150],
+    })
+    pairs = interval_join(
+        rd.from_pandas(intervals).repartition(2),
+        rd.from_pandas(points).repartition(3),
+        by="k", start_col="s", end_col="e", point_col="p",
+        int_id="iid", point_id="pid", bin_width_us=50).to_pandas()
+    got = set(map(tuple, pairs[["iid", "pid"]].to_numpy()))
+    # iid1:[100,200]@k10 → 150; iid2:[250,260]@k10 → 255;
+    # iid3:[0,1000]@k20 → 500 (1001 outside, 150@k30 wrong key)
+    assert got == {(1, 101), (2, 103), (3, 104)}
+    # no duplicate pairs despite multi-bin intervals
+    assert len(pairs) == len(got)
