@@ -937,6 +937,60 @@ def _q_label_centroids(sf_dir: str):
     return label_centroids(ds)
 
 
+def _q_bucketed_join(sf_dir: str):
+    """Shuffle-free co-located join: orders and customer are written
+    ONCE hash-bucketed by custkey (cached hive layout under /tmp), then
+    one task per bucket reads both sides' partitions and joins locally
+    — the write-time partitioning pays for every later join."""
+    import shutil
+
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from dqm_ray.sources.bucketed import bucketed_join, write_bucketed
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_CACHE, f"bucketed_v1_{sf}")
+    da, db = os.path.join(base, "orders"), os.path.join(base, "customer")
+    done = os.path.join(base, ".done")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"]) \
+            .map_batches(lambda t: t.rename_columns(
+                ["custkey", "o_totalprice"]), batch_format="pyarrow")
+        cust = rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"]) \
+            .map_batches(lambda t: t.rename_columns(
+                ["custkey", "c_nationkey"]), batch_format="pyarrow")
+        write_bucketed(orders, da, key="custkey", num_buckets=16)
+        write_bucketed(cust, db, key="custkey", num_buckets=16)
+        with open(done, "w") as f:
+            f.write("ok")
+    joined = bucketed_join(da, db, on="custkey", num_buckets=16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table({"c_nationkey": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64()),
+                             "revenue_cents": pa.array([], pa.int64())})
+        df["revenue_cents"] = np.round(
+            df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        df["n_orders"] = np.int64(1)
+        g = df.groupby("c_nationkey", as_index=False)[
+            ["n_orders", "revenue_cents"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_nationkey").aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"))
+
+
 def _q_events_in_window(sf_dir: str):
     """Range join (interval containment): for each purchase, count
     same-user events in the preceding 30 minutes — binned interval
@@ -1029,6 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docprep": _q_docprep,
         "label_centroids": _q_label_centroids,
         "events_in_window": _q_events_in_window,
+        "bucketed_join_revenue": _q_bucketed_join,
     }
 
 
@@ -1722,6 +1777,12 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontam_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "docprep": _docprep_oracle_sql(),
+        "bucketed_join_revenue": """
+            SELECT c_nationkey, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey""",
         "events_in_window": """
             SELECT p.event_id AS purchase_id, count(*) AS n
             FROM events p JOIN events e

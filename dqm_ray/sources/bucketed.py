@@ -1,0 +1,89 @@
+"""Bucketed parquet layout: hash-partitioned tables + shuffle-free
+co-located joins.
+
+At 100 TB the cheapest shuffle is the one you never run: write each
+table ONCE partitioned by ``hash64(key) % B`` (one hive directory per
+bucket), then any later join on that key reads bucket i of both sides
+in one task and joins locally — zero data movement, and each bucket is
+an independent resume unit. This is the "pick ONE partitioning key and
+reuse it across stages" rule made concrete.
+
+Reference parity: the reference keys all processing by (plane, link)
+channel partitions fixed at configuration time (include/dqm/
+ChannelMap.hpp:28-44); the bucket layout is the corpus-scale analog of
+that stable keying.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    """The layout's hash function — one definition shared by writer and
+    any reader that wants per-bucket pruning."""
+    return (pd.util.hash_array(keys.astype(np.int64))
+            % num_buckets).astype(np.int32)
+
+
+def write_bucketed(ds, out_dir: str, *, key: str, num_buckets: int = 32):
+    """Write a Dataset hive-partitioned by ``bucket = hash64(key) % B``.
+    Returns ``out_dir``. Streaming: each input block is split and
+    appended to its bucket partitions by Ray's parquet sink."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(bucket_of(k, num_buckets), pa.int32()))
+
+    ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .write_parquet(out_dir, partition_cols=["bucket"])
+    return out_dir
+
+
+def bucketed_join(dir_a: str, dir_b: str, *, on: str,
+                  num_buckets: int = 32, suffix: str = "_r"):
+    """Shuffle-free join of two tables bucketed on the SAME key with the
+    SAME bucket count: one task per bucket reads both sides' partition
+    directories and joins arrow-natively. Skew bound: one bucket's rows
+    (both sides) must fit a worker — increase ``num_buckets`` at write
+    time for hotter keys."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    def rename_right(tb_names, ta_names):
+        return [c if c == on else
+                (c + suffix if c in set(ta_names) else c)
+                for c in tb_names]
+
+    def empty_joined() -> pa.Table:
+        # schema-correct empty result for buckets with no data on a side
+        ta = pads.dataset(dir_a, partitioning="hive").schema.empty_table()
+        tb = pads.dataset(dir_b, partitioning="hive").schema.empty_table()
+        ta, tb = ta.drop(["bucket"]), tb.drop(["bucket"])
+        tb = tb.rename_columns(rename_right(tb.column_names,
+                                            ta.column_names))
+        return ta.join(tb, keys=on, join_type="inner")
+
+    def join_one(batch: pa.Table) -> pa.Table:
+        out = []
+        for i in batch.column("id").to_pylist():
+            pa_ = os.path.join(dir_a, f"bucket={i}")
+            pb_ = os.path.join(dir_b, f"bucket={i}")
+            if not (os.path.isdir(pa_) and os.path.isdir(pb_)):
+                continue
+            ta = pads.dataset(pa_).to_table()
+            tb = pads.dataset(pb_).to_table()
+            tb = tb.rename_columns(rename_right(tb.column_names,
+                                                ta.column_names))
+            out.append(ta.join(tb, keys=on, join_type="inner"))
+        if not out:
+            return empty_joined()
+        return pa.concat_tables(out, promote_options="default")
+
+    return rd.range(num_buckets).map_batches(
+        join_one, batch_format="pyarrow", batch_size=1, num_cpus=1)

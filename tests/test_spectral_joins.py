@@ -225,3 +225,28 @@ def test_interval_join_containment(ray_session):
     assert got == {(1, 101), (2, 103), (3, 104)}
     # no duplicate pairs despite multi-bin intervals
     assert len(pairs) == len(got)
+
+
+def test_bucketed_write_and_join(ray_session, tmp_path):
+    """Write-once bucketed layout → shuffle-free per-bucket join equals
+    a plain merge; missing buckets yield schema-correct empties."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dqm_ray.sources.bucketed import bucketed_join, write_bucketed
+
+    a = pd.DataFrame({"k": np.arange(200, dtype=np.int64),
+                      "va": np.arange(200) * 2})
+    b = pd.DataFrame({"k": np.arange(0, 400, 2, dtype=np.int64),
+                      "vb": np.arange(0, 400, 2) * 3})
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(rd.from_pandas(a).repartition(3), da, key="k",
+                   num_buckets=8)
+    write_bucketed(rd.from_pandas(b).repartition(2), db, key="k",
+                   num_buckets=8)
+    got = bucketed_join(da, db, on="k", num_buckets=8).to_pandas() \
+        .sort_values("k", ignore_index=True)
+    want = a.merge(b, on="k").sort_values("k", ignore_index=True)
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["va"].tolist() == want["va"].tolist()
+    assert got["vb"].tolist() == want["vb"].tolist()
