@@ -68,3 +68,47 @@ def test_scrub_matches_oracle_with_planted_pii(texts, planted):
     out = scrub_batch(t, cfg=CFG)
     for i, s in enumerate(texts):
         assert out["content"][i].as_py() == scrub_text(s, CFG)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(codec="utf-8"),
+                        max_size=60), min_size=1, max_size=20),
+       st.integers(min_value=2, max_value=15))
+def test_matched_per_doc_equals_naive_gram_sets(texts, k):
+    """Decontam probe (chunked buffer path + prefilter + bitset) equals
+    per-doc python byte-gram set intersection, on arbitrary unicode."""
+    from dqm_ray.functions.decontam import _matched_per_doc
+    from dqm_ray.functions.dedup import _poly_hash, _rolling_gram_hashes
+
+    def gram_hashes(s: str) -> set:
+        d = np.frombuffer(s.encode("utf-8"), np.uint8)
+        if len(d) < k:
+            return {int(_poly_hash(d))}
+        return set(int(x) for x in _rolling_gram_hashes(d, k))
+
+    bench_docs, corpus_docs = texts[: len(texts) // 2], texts
+    bench = set().union(*(gram_hashes(t) for t in bench_docs)) \
+        if bench_docs else set()
+    bench_arr = np.sort(np.array(sorted(bench), np.uint64)) if bench \
+        else np.zeros(0, np.uint64)
+    got = _matched_per_doc(bench_arr, pa.array(corpus_docs), k)
+    want = np.array([len(gram_hashes(t) & bench) for t in corpus_docs],
+                    np.int64)
+    assert (got == want).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                min_size=1, max_size=300),
+       st.integers(min_value=1, max_value=60))
+def test_sampling_threshold_monotone_and_deterministic(keys, pct):
+    """Raising the rate only ADDS members (nested samples), and
+    membership is a pure function of (key, seed)."""
+    from dqm_ray.functions.sampling import (SAMPLE_A, _offset,
+                                            rate_threshold)
+
+    k = np.array(keys, np.int64).view(np.uint64)
+    h = k * np.uint64(SAMPLE_A) + np.uint64(_offset(7))
+    lo = h < np.uint64(rate_threshold(pct / 100))
+    hi = h < np.uint64(rate_threshold(min(pct * 2, 100) / 100 - 1e-12))
+    assert not (lo & ~hi).any()  # lower-rate sample ⊆ higher-rate
