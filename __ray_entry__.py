@@ -953,9 +953,11 @@ def _q_bucketed_join(sf_dir: str):
     sf = os.path.basename(os.path.normpath(sf_dir))
     base = os.path.join(_CACHE, f"bucketed_v1_{sf}")
     da, db = os.path.join(base, "orders"), os.path.join(base, "customer")
-    done = os.path.join(base, ".done")
-    if not os.path.exists(done):
-        shutil.rmtree(base, ignore_errors=True)
+    if not os.path.isdir(base):
+        # build under a pid-suffixed dir, publish by atomic rename —
+        # concurrent builders race harmlessly (loser removes its copy)
+        tmp = f"{base}.tmp{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
         orders = rd.read_parquet(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_custkey", "o_totalprice"]) \
@@ -966,10 +968,14 @@ def _q_bucketed_join(sf_dir: str):
             columns=["c_custkey", "c_nationkey"]) \
             .map_batches(lambda t: t.rename_columns(
                 ["custkey", "c_nationkey"]), batch_format="pyarrow")
-        write_bucketed(orders, da, key="custkey", num_buckets=16)
-        write_bucketed(cust, db, key="custkey", num_buckets=16)
-        with open(done, "w") as f:
-            f.write("ok")
+        write_bucketed(orders, os.path.join(tmp, "orders"),
+                       key="custkey", num_buckets=16)
+        write_bucketed(cust, os.path.join(tmp, "customer"),
+                       key="custkey", num_buckets=16)
+        try:
+            os.rename(tmp, base)
+        except OSError:  # another process published first
+            shutil.rmtree(tmp, ignore_errors=True)
     joined = bucketed_join(da, db, on="custkey", num_buckets=16)
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -26,7 +26,8 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = ["doc_line_stats", "pii_scrub", "lineage_sha256",
                  "grouped_stats", "exact_dedup", "minhash_dedup",
                  "token_counts", "q1_pricing", "events_hourly",
-                 "knn_cosine", "decontaminate", "top_terms"]
+                 "knn_cosine", "decontaminate", "top_terms",
+                 "docprep", "events_in_window", "bucketed_join_revenue"]
 
 
 def _consume(obj) -> int:
