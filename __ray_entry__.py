@@ -1042,6 +1042,108 @@ def _q_top_terms(sf_dir: str):
     return top_terms(_docs(sf_dir, columns=["text"]), k=100)
 
 
+def _q_boilerplate_lines(sf_dir: str):
+    """C4/RefinedWeb-style line-level boilerplate removal over the
+    synthetic code corpus (template-heavy: license banners and nav
+    chrome repeat across files) — 3-pass count/verify/clean shape, see
+    dqm_ray/functions/boilerplate.py."""
+    import ray.data as rd
+
+    from dqm_ray.functions.boilerplate import remove_boilerplate_lines
+
+    ds = rd.read_parquet(_corpus_paths(sf_dir),
+                         columns=["path", "content"])
+    return remove_boilerplate_lines(ds, text_col="content", id_col="path",
+                                    min_len=10, min_docs=10)
+
+
+def _q_doc_chunks(sf_dir: str):
+    """Fixed-size overlapping character chunks per document (training
+    -sequence / RAG prep) — embarrassingly parallel flat-map."""
+    from dqm_ray.functions.text import chunk_docs
+
+    return chunk_docs(_docs(sf_dir, columns=["doc_id", "text"]),
+                      chunk_size=500, overlap=100)
+
+
+def _q_anti_join_no_urgent(sf_dir: str):
+    """Customers with no URGENT-priority order, counted per market
+    segment — left anti join (distinct right keys broadcast, payload
+    side never shuffles)."""
+    import ray.data as rd
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Count
+
+    from dqm_ray.functions.joins import anti_join
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+    urgent = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"],
+        filter=(pads.field("o_orderpriority") == "1-URGENT"))
+    left = anti_join(cust, urgent, on="c_custkey", right_on="o_custkey")
+    return left.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_customers"))
+
+
+def _q_rollup_revenue(sf_dir: str):
+    """Revenue rollup: (returnflag, linestatus) leaves + per-returnflag
+    subtotals + grand total, exact integer cents. The rollup levels
+    derive from the TINY leaf aggregate driver-side (exact for
+    sum/count) — no extra pass over the fact table."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag").to_pylist(),
+            "l_linestatus": batch.column("l_linestatus").to_pylist(),
+            "revenue_cents": np.round(ep * 100).astype(np.int64),
+            "n_lines": np.ones(len(batch), dtype=np.int64),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    leaf = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_lines", alias_name="n_lines")).to_pandas()
+    mid = leaf.groupby("l_returnflag", as_index=False)[
+        ["revenue_cents", "n_lines"]].sum()
+    mid["l_linestatus"] = "ALL"
+    top = pd.DataFrame({
+        "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+        "revenue_cents": [leaf["revenue_cents"].sum()],
+        "n_lines": [leaf["n_lines"].sum()]})
+    cols = ["l_returnflag", "l_linestatus", "revenue_cents", "n_lines"]
+    out = pd.concat([leaf[cols], mid[cols], top[cols]], ignore_index=True)
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    out["n_lines"] = out["n_lines"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (k=8, 3
+    assignment passes, deterministic init/ties) — flat (cluster, dim,
+    centroid, n) output; oracle = the same 3 iterations unrolled in
+    SQL."""
+    import ray.data as rd
+
+    from dqm_ray.functions.similarity import kmeans_embeddings
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return kmeans_embeddings(ds, k=8, iters=3)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1090,6 +1192,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "events_in_window": _q_events_in_window,
         "bucketed_join_revenue": _q_bucketed_join,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "doc_chunks": _q_doc_chunks,
+        "anti_join_no_urgent": _q_anti_join_no_urgent,
+        "rollup_revenue": _q_rollup_revenue,
+        "kmeans_embeddings": _q_kmeans_embeddings,
     }
 
 
@@ -1756,6 +1863,56 @@ def _stratified_sample_oracle_sql() -> str:
             f"WHERE {sample_sql_hash('doc_id', _SAMPLE_SEED)} < {thr}")
 
 
+def _boilerplate_oracle_sql(sf: str = "sf0.01") -> str:
+    glob = os.path.join(_CACHE, sf, "code_files_*.parquet")
+    return f"""
+        WITH ls AS (SELECT path, str_split(content, chr(10)) AS ls
+                    FROM read_parquet('{glob}')),
+        l AS (SELECT path, unnest(ls) AS line,
+                     unnest(range(1, len(ls)+1)) AS ord
+              FROM ls),
+        freq AS (SELECT line FROM (
+                   SELECT line, count(DISTINCT path) AS cd FROM l
+                   WHERE length(line) >= 10 GROUP BY line)
+                 WHERE cd >= 10),
+        l2 AS (SELECT l.path, l.line, l.ord, f.line IS NOT NULL AS rm
+               FROM l LEFT JOIN freq f ON l.line = f.line)
+        SELECT path,
+               coalesce(string_agg(line, chr(10) ORDER BY ord)
+                        FILTER (WHERE NOT rm), '') AS text,
+               CAST(count(*) FILTER (WHERE rm) AS BIGINT) AS n_removed
+        FROM l2 GROUP BY path"""
+
+
+def _kmeans_oracle_sql() -> str:
+    """The exact 3-assignment-pass Lloyd contract unrolled: init = the 8
+    lowest-id vectors; argmin ties break to the lowest cluster id via
+    the window order; empty clusters drop out of the next CTE."""
+    assign = """(SELECT vec_id, v, cl FROM (
+            SELECT e.vec_id, e.v, {c}.cl,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_distance(e.v, {c}.c), {c}.cl) AS rn
+            FROM e CROSS JOIN {c}) WHERE rn = 1)"""
+    update = """(SELECT cl, list(s ORDER BY j) AS c FROM (
+             SELECT cl, j, avg(v[CAST(j AS INT)]) AS s
+             FROM {a}, unnest(range(1, 65)) t(j) GROUP BY cl, j)
+           GROUP BY cl)"""
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS c
+               FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        a1 AS {assign.format(c="c0")},
+        c1 AS {update.format(a="a1")},
+        a2 AS {assign.format(c="c1")},
+        c2 AS {update.format(a="a2")},
+        a3 AS {assign.format(c="c2")}
+        SELECT cl AS cluster, CAST(j - 1 AS BIGINT) AS dim,
+               round(avg(v[CAST(j AS INT)]), 6) AS centroid,
+               count(*) AS n
+        FROM a3, unnest(range(1, 65)) t(j) GROUP BY cl, j"""
+
+
 def oracle_sql() -> dict[str, str]:
     # The flagship oracle reads the deterministic /tmp corpus cache and
     # the bigram-model parquet; materialize both here so the SQL is
@@ -1772,6 +1929,33 @@ def oracle_sql() -> dict[str, str]:
         pass
     return {
         "flagship_quality": _flagship_oracle_sql("sf0.01"),
+        "boilerplate_lines": _boilerplate_oracle_sql("sf0.01"),
+        "kmeans_embeddings": _kmeans_oracle_sql(),
+        "doc_chunks": """
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                   substring(text, CAST(i*400+1 AS BIGINT), 500)
+                       AS chunk_text,
+                   length(substring(text, CAST(i*400+1 AS BIGINT), 500))
+                       AS n_chunk_chars
+            FROM documents,
+                 unnest(range(0, CASE WHEN length(text) <= 500 THEN 1
+                    ELSE CAST(ceil((length(text)-500)/400.0) AS BIGINT) + 1
+                    END)) t(i)""",
+        "anti_join_no_urgent": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment""",
+        "rollup_revenue": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
         "nl_langid": _nl_langid_oracle_sql(),
         "fingerprint": _fingerprint_oracle_sql(),
         "minhash_dedup": _minhash_oracle_sql(),

@@ -1,0 +1,153 @@
+"""Line-level boilerplate removal (C4 / RefinedWeb style): delete every
+line whose exact text occurs in >= ``min_docs`` distinct documents —
+license headers, nav chrome, generated banners.
+
+Scale shape (three streaming passes, content never enters a shuffle):
+
+1. **Count pass** — each batch splits its docs into lines, hashes the
+   candidate lines (length >= ``min_len``), dedupes per doc, and emits
+   pre-aggregated ``(line_hash, n_docs)`` partials; one groupby-sum over
+   16 B rows yields per-hash document frequencies.
+2. **Verify pass** — hashes passing the threshold are a heavy-hitter set
+   (bounded by corpus_size / min_docs); they broadcast once via
+   ``ray.put`` and a second pass re-counts ONLY candidate lines grouped
+   by their exact text, so a 64-bit collision between a rare line and a
+   frequent one cannot remove the wrong line (the rare line fails the
+   threshold on its own text). Only candidate line text enters this
+   shuffle, bounded by the heavy-hitter set.
+3. **Clean pass** — the frequent line texts broadcast once; each batch
+   filters its flattened line array with one vectorized ``is_in``,
+   rebuilds the list offsets, and joins the kept lines back.
+
+Reference parity: the reference's remove_empty / make_same_size checks
+normalize per-fragment payloads in place (src/Pipeline.cpp check loop);
+here the normalization is corpus-global, which is exactly what Ray's
+shuffle + broadcast primitives add over the single-process reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _line_arrays(batch: pa.Table, text_col: str):
+    """Split ``text_col`` into per-doc line lists; return (list_array,
+    flat_lines, row_index_per_line)."""
+    text = batch.column(text_col).combine_chunks()
+    lines = pc.split_pattern(text, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat = pc.list_flatten(lines)
+    counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    rows = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    return lines, flat, rows
+
+
+def _doc_distinct(h: np.ndarray, rows: np.ndarray) -> np.ndarray:
+    """Hashes deduped within each doc (one entry per (doc, line-value))."""
+    if not len(h):
+        return h
+    order = np.lexsort((rows, h))
+    hs, rs = h[order], rows[order]
+    first = np.ones(len(hs), dtype=bool)
+    first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+    return hs[first]
+
+
+def remove_boilerplate_lines(ds, *, text_col: str = "text",
+                             id_col: str = "doc_id", min_len: int = 10,
+                             min_docs: int = 10):
+    """Return (id_col, text, n_removed): each doc with its boilerplate
+    lines deleted and the count of deleted lines.
+
+    Contract (mirrored bitwise by the SQL oracle): lines are ``\\n``
+    splits; a line is boilerplate iff ``utf8_length(line) >= min_len``
+    and its exact text occurs in >= ``min_docs`` distinct docs; kept
+    lines re-join with ``\\n`` (docs losing every line become '').
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        _, flat, rows = _line_arrays(batch, text_col)
+        keep = pc.greater_equal(pc.utf8_length(flat), min_len) \
+            .to_numpy(zero_copy_only=False)
+        idx = np.nonzero(keep)[0]
+        # int64 bit-pattern of the uint64 hash: Ray's aggregate/filter
+        # path round-trips values through Python ints, where uint64 >
+        # 2^63 overflows — the ordering only needs to be self-consistent
+        h = pd.util.hash_array(
+            flat.take(pa.array(idx)).to_numpy(zero_copy_only=False)) \
+            .view(np.int64)
+        hs = _doc_distinct(h, rows[idx])
+        uniq, n = np.unique(hs, return_counts=True)
+        return pa.table({"h": pa.array(uniq, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    cand = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("n", alias_name="n")) \
+        .filter(expr=f"n >= {min_docs}").to_pandas()
+    # an all-filtered Dataset can surface as a 0-column DataFrame
+    cand_h = (np.sort(cand["h"].to_numpy(dtype=np.int64))
+              if "h" in cand.columns else np.empty(0, np.int64))
+    cand_ref = ray.put(cand_h)
+
+    def verify_partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        _, flat, rows = _line_arrays(batch, text_col)
+        keep = pc.greater_equal(pc.utf8_length(flat), min_len) \
+            .to_numpy(zero_copy_only=False)
+        idx = np.nonzero(keep)[0]
+        sub = flat.take(pa.array(idx))
+        h = pd.util.hash_array(sub.to_numpy(zero_copy_only=False)) \
+            .view(np.int64)
+        if len(c):
+            pos = np.minimum(np.searchsorted(c, h), len(c) - 1)
+            m = c[pos] == h
+        else:
+            m = np.zeros(len(h), dtype=bool)
+        sel = np.nonzero(m)[0]
+        # exact doc-distinct on the candidate subset's TEXT
+        txt = sub.take(pa.array(sel))
+        r = rows[idx][sel]
+        df = pd.DataFrame({"line": txt.to_numpy(zero_copy_only=False),
+                           "r": r}).drop_duplicates()
+        vc = df["line"].value_counts()
+        return pa.table({"line": pa.array(vc.index.to_numpy(), pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    freq = ds.map_batches(verify_partial, batch_format="pyarrow") \
+        .groupby("line").aggregate(Sum("n", alias_name="n")) \
+        .filter(expr=f"n >= {min_docs}").to_pandas()
+    freq_lines = (np.sort(freq["line"].to_numpy())
+                  if "line" in freq.columns else np.empty(0, object))
+    freq_ref = ray.put(pa.array(freq_lines, pa.string()))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        fr = ray.get(freq_ref)
+        lines, flat, _ = _line_arrays(batch, text_col)
+        counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rm = pc.is_in(flat, value_set=fr).to_numpy(zero_copy_only=False)
+        kept = flat.filter(pa.array(~rm))
+        # removed-per-row via cumulative count of removals at row edges
+        ends = np.cumsum(counts)
+        rm_cum = np.concatenate(([0], np.cumsum(rm.astype(np.int64))))
+        removed = rm_cum[ends] - rm_cum[ends - counts]
+        new_counts = counts - removed
+        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(new_counts, out=offsets[1:])
+        lst = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                            kept)
+        joined = pc.binary_join(lst, pa.scalar("\n", kept.type))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "text": joined.cast(pa.string()),
+            "n_removed": pa.array(removed, pa.int64()),
+        })
+
+    return ds.map_batches(clean, batch_format="pyarrow")

@@ -85,6 +85,44 @@ def partitioned_hash_join(left, right, *, on: str, num_buckets: int = 32,
                                                batch_format="pyarrow")
 
 
+def anti_join(left, right, *, on: str, right_on: str | None = None):
+    """Left anti join: rows of ``left`` with no match in ``right`` —
+    the NOT EXISTS / EXCEPT shape dedup and compliance filters need.
+
+    Scale shape: the right side reduces to DISTINCT keys via one
+    key-only groupby (the shuffle moves 8 B rows), the distinct-key set
+    broadcasts once via ``ray.put`` as a sorted int64 array, and the
+    left side filters in place per batch with a vectorized searchsorted
+    probe — the left (payload) side never shuffles. Scale bound: 8 B x
+    |distinct right keys| in the object store (same documented bound as
+    exact_dedup's winner set); past ~10^10 distinct keys switch to the
+    bucketed-layout co-located join (sources/bucketed.py) and emit the
+    unmatched side there.
+
+    Reference parity: the inverse of the ChannelMap admission lookup —
+    frames whose channel is NOT in the map are dropped before analysis
+    (include/dqm/ChannelMapFiller.hpp fill + Pipeline check chain).
+    """
+    import pyarrow.compute as pc  # noqa: F401 (vectorized probe below)
+
+    ron = right_on or on
+    keys_df = right.select_columns([ron]).groupby(ron).count().to_pandas()
+    # an empty right side can surface as a 0-column DataFrame
+    keys = (np.sort(keys_df[ron].to_numpy().astype(np.int64))
+            if ron in keys_df.columns else np.empty(0, np.int64))
+    ref = ray.put(keys)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        k = ray.get(ref)
+        if len(k) == 0:
+            return batch
+        v = batch.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.minimum(np.searchsorted(k, v), len(k) - 1)
+        return batch.filter(pa.array(k[idx] != v))
+
+    return left.map_batches(flt, batch_format="pyarrow")
+
+
 def asof_join(left, right, *, by: str, on: str, suffix: str = "_r",
               direction: str = "backward", tiebreak: str | None = None):
     """As-of join: for each left row, the most recent right row with

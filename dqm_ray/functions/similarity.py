@@ -333,3 +333,98 @@ def label_centroids(ds, *, label_col: str = "label",
 
     return ds.map_batches(partial, batch_format="pyarrow", num_cpus=1) \
         .groupby(label_col).map_groups(combine, batch_format="pandas")
+
+
+def kmeans_embeddings(ds, *, k: int = 8, iters: int = 3,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      round_to: int = 6):
+    """Distributed Lloyd k-means over an embedding column with a fixed
+    iteration count and a fully deterministic contract (mirrored by the
+    unrolled SQL oracle):
+
+    - init: clusters 0..k-1 = the k lowest-``id_col`` vectors;
+    - assignment: squared-L2 argmin, ties -> lowest cluster id;
+    - update: mean of members; empty clusters drop out;
+    - output (after the last assignment): flat (cluster, dim, centroid,
+      n) rows, centroid rounded to ``round_to`` (absorbs partial-sum
+      accumulation-order differences vs a sequential oracle).
+
+    Scale shape: per iteration the centroids broadcast once via
+    ``ray.put`` and every batch reduces to <= k (sum-vector, count)
+    partial rows (one-hot segment matmul — the label_centroids kernel),
+    so each Lloyd round is ONE streaming pass whose network cost is
+    k x dim x 8 B per batch; the k x dim centroid merge is driver-side.
+    No groupby shuffle anywhere.
+
+    Reference parity: iterative refit of a build-once lookup state —
+    the ChannelMap is built once and consulted per record
+    (include/dqm/ChannelMapFiller.hpp); k-means re-derives the "map"
+    (centroids) from the stream itself, which is the piece a training
+    -data engine adds on top.
+    """
+
+    def vecs(batch: pa.Table) -> np.ndarray:
+        col = batch.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = len(batch)
+        return flat.reshape(n, len(flat) // n) if n else flat.reshape(0, 0)
+
+    def init_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = vecs(batch)
+        if len(ids) > k:
+            idx = np.sort(np.argpartition(ids, k)[:k])
+            ids, m = ids[idx], m[idx]
+        d = m.shape[1]
+        return pa.table({id_col: pa.array(ids),
+                         "v": pa.array(list(m), pa.list_(pa.float64(), d))})
+
+    cand = ds.map_batches(init_partial, batch_format="pyarrow").to_pandas()
+    order = np.argsort(cand[id_col].to_numpy(), kind="stable")[:k]
+    cent = np.stack(cand["v"].to_numpy()[order]).astype(np.float64)
+    clusters = np.arange(len(cent), dtype=np.int64)
+
+    sums = counts = None
+    for _ in range(iters):
+        ref = ray.put((clusters, cent))
+
+        def assign_partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            cl, c = ray.get(_ref)
+            x = vecs(batch)
+            d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) \
+                + (c * c).sum(1)[None, :]
+            a = d2.argmin(1)  # ties -> first = lowest cluster id (c is
+            #                   ordered by cluster id)
+            uniq, inv = np.unique(a, return_inverse=True)
+            onehot = np.zeros((len(uniq), len(x)))
+            onehot[inv, np.arange(len(x))] = 1.0
+            vsum = onehot @ x
+            n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            return pa.table({
+                "cl": pa.array(cl[uniq], pa.int64()),
+                "vsum": pa.array(list(vsum), pa.list_(pa.float64(),
+                                                      x.shape[1])),
+                "n": pa.array(n),
+            })
+
+        parts = ds.map_batches(assign_partial, batch_format="pyarrow") \
+            .to_pandas()
+        g = parts.groupby("cl", sort=True)
+        clusters = np.array(list(g.groups), dtype=np.int64)
+        sums = np.stack([np.stack(grp["vsum"].to_numpy()).sum(axis=0)
+                         for _, grp in g])
+        counts = g["n"].sum().to_numpy().astype(np.int64)
+        cent = sums / counts[:, None]
+
+    d = cent.shape[1]
+    return pa.table({
+        "cluster": pa.array(np.repeat(clusters, d), pa.int64()),
+        "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                len(clusters))),
+        "centroid": pa.array(np.round(cent, round_to).ravel(), pa.float64()),
+        "n": pa.array(np.repeat(counts, d), pa.int64()),
+    })

@@ -148,6 +148,57 @@ def quality_score_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     return batch.append_column("quality_score", pa.array(score, pa.float64()))
 
 
+def chunk_docs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+               chunk_size: int = 500, overlap: int = 100):
+    """Split every document into fixed-size character windows with
+    overlap — training-sequence / RAG chunk prep.
+
+    Contract (mirrored by the SQL oracle): stride = chunk_size −
+    overlap; doc with n chars gets ``1 + ceil((n − chunk_size) /
+    stride)`` chunks (1 if n ≤ chunk_size, including empty docs);
+    chunk i covers characters ``[i·stride, i·stride + chunk_size)``
+    (codepoint semantics, identical to SQL ``substring``).
+
+    Scale shape: embarrassingly parallel flat-map — one vectorized
+    ``utf8_slice_codeunits`` pass per chunk ordinal over the rows that
+    still have text there, so total work is O(total chars x
+    chunk_size/stride), no per-row Python and no shuffle. Row fan-out
+    is bounded by Ray's block splitting; large docs only increase the
+    per-batch output linearly.
+    """
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_size")
+
+    def chunk_batch(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col).combine_chunks()
+        ids = batch.column(id_col)
+        n = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_chunks = np.where(
+            n <= chunk_size, 1,
+            (n - chunk_size + stride - 1) // stride + 1)
+        pieces = []
+        for i in range(int(n_chunks.max()) if len(batch) else 0):
+            sel = np.nonzero(n_chunks > i)[0]
+            sub = text.take(pa.array(sel))
+            piece = pc.utf8_slice_codeunits(
+                sub, start=i * stride, stop=i * stride + chunk_size)
+            pieces.append(pa.table({
+                id_col: ids.take(pa.array(sel)),
+                "chunk_id": pa.array(np.full(len(sel), i, np.int64)),
+                "chunk_text": piece.cast(pa.string()),
+                "n_chunk_chars": pc.utf8_length(piece).cast(pa.int64()),
+            }))
+        if not pieces:
+            return pa.table({id_col: ids, "chunk_id": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string()),
+                             "n_chunk_chars": pa.array([], pa.int64())})
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(chunk_batch, batch_format="pyarrow")
+
+
 def top_terms(ds, *, text_col: str = "text", min_len: int = 2,
               k: int = 100):
     """Corpus-wide heavy hitters: the k most frequent lowercase ASCII

@@ -1,0 +1,187 @@
+"""Boilerplate-line removal, document chunking, anti join, rollup, and
+distributed k-means — round-2 additions."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(table):
+    import ray.data as rd
+
+    return rd.from_arrow(table)
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate removal
+# ---------------------------------------------------------------------------
+
+def _docs_with_boilerplate():
+    banner = "// Copyright Example Corp - generated"
+    nav = "=== navigation chrome line ==="
+    rows = []
+    for i in range(12):
+        body = f"unique body line {i} alpha\nshort\nunique tail {i}"
+        rows.append(f"{banner}\n{body}\n{nav}")
+    # doc 12: banner repeated twice inside ONE doc (counts once)
+    rows.append(f"{banner}\n{banner}\nrare line only here")
+    # doc 13: nothing but boilerplate -> becomes ''
+    rows.append(f"{banner}\n{nav}")
+    # doc 14: empty text
+    rows.append("")
+    return pa.table({
+        "doc_id": pa.array(np.arange(15), pa.int64()),
+        "text": pa.array(rows),
+    }), banner, nav
+
+
+def test_boilerplate_removes_frequent_lines(ray_session):
+    from dqm_ray.functions.boilerplate import remove_boilerplate_lines
+
+    tbl, banner, nav = _docs_with_boilerplate()
+    out = remove_boilerplate_lines(
+        _ds(tbl), text_col="text", id_col="doc_id",
+        min_len=10, min_docs=10).to_pandas().set_index("doc_id")
+    assert len(out) == 15
+    for i in range(12):
+        t = out.loc[i, "text"]
+        assert banner not in t and nav not in t
+        assert f"unique body line {i} alpha" in t
+        assert "short" in t  # below min_len: never removed
+        assert out.loc[i, "n_removed"] == 2
+    # doc 12: two banner copies removed (both occurrences), rare line kept
+    assert out.loc[12, "text"] == "rare line only here"
+    assert out.loc[12, "n_removed"] == 2
+    # doc 13: all lines were boilerplate
+    assert out.loc[13, "text"] == "" and out.loc[13, "n_removed"] == 2
+    # doc 14: empty text round-trips
+    assert out.loc[14, "text"] == "" and out.loc[14, "n_removed"] == 0
+
+
+def test_boilerplate_noop_below_threshold(ray_session):
+    from dqm_ray.functions.boilerplate import remove_boilerplate_lines
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a shared long line here\nx", "a shared long line here\ny"]),
+    })
+    out = remove_boilerplate_lines(
+        _ds(tbl), text_col="text", id_col="doc_id",
+        min_len=10, min_docs=3).to_pandas()
+    assert (out["n_removed"] == 0).all()
+    assert set(out["text"]) == set(tbl.column("text").to_pylist())
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+def test_chunk_docs_cover_and_overlap(ray_session):
+    from dqm_ray.functions.text import chunk_docs
+
+    texts = ["", "x" * 100, "".join(chr(97 + i % 26) for i in range(1234))]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(texts)})
+    out = chunk_docs(_ds(tbl), chunk_size=500, overlap=100) \
+        .to_pandas().sort_values(["doc_id", "chunk_id"])
+    # chunk counts: 1, 1, 1 + ceil((1234-500)/400) = 3
+    assert out.groupby("doc_id").size().tolist() == [1, 1, 3]
+    by = out.set_index(["doc_id", "chunk_id"])["chunk_text"]
+    assert by[(0, 0)] == "" and by[(1, 0)] == "x" * 100
+    assert by[(2, 0)] == texts[2][:500]
+    assert by[(2, 1)] == texts[2][400:900]
+    assert by[(2, 2)] == texts[2][800:1300]
+    # consecutive chunks overlap by exactly `overlap` chars
+    assert by[(2, 0)][-100:] == by[(2, 1)][:100]
+    assert (out["n_chunk_chars"] ==
+            out["chunk_text"].str.len()).all()
+
+
+# ---------------------------------------------------------------------------
+# anti join
+# ---------------------------------------------------------------------------
+
+def test_anti_join_matches_pandas(ray_session):
+    from dqm_ray.functions.joins import anti_join
+
+    rng = np.random.default_rng(3)
+    left = pa.table({"k": pa.array(rng.integers(0, 50, 200), pa.int64()),
+                     "payload": pa.array(np.arange(200), pa.int64())})
+    right = pa.table({"rk": pa.array(rng.integers(25, 60, 100), pa.int64())})
+    got = anti_join(_ds(left), _ds(right), on="k", right_on="rk") \
+        .to_pandas().sort_values("payload").reset_index(drop=True)
+    rset = set(right.column("rk").to_pylist())
+    exp = left.to_pandas()
+    exp = exp[~exp["k"].isin(rset)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_anti_join_empty_right(ray_session):
+    from dqm_ray.functions.joins import anti_join
+
+    left = pa.table({"k": pa.array([1, 2], pa.int64())})
+    right = pa.table({"k": pa.array([], pa.int64())})
+    got = anti_join(_ds(left), _ds(right), on="k").to_pandas()
+    assert sorted(got["k"]) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+
+def _lloyd_reference(x, ids, k, iters):
+    """Sequential single-machine Lloyd with the exact same contract."""
+    order = np.argsort(ids)
+    cent = x[order[:k]].astype(np.float64)
+    cl = np.arange(k)
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = cl[d2.argmin(axis=1)]
+        uniq = np.unique(a)
+        cent = np.stack([x[a == c].mean(axis=0) for c in uniq])
+        cl = uniq
+    return cl, a, cent
+
+
+def test_kmeans_matches_sequential_lloyd(ray_session):
+    from dqm_ray.functions.similarity import kmeans_embeddings
+
+    rng = np.random.default_rng(11)
+    n, d, k = 300, 16, 5
+    x = rng.normal(size=(n, d)).astype(np.float64)
+    ids = rng.permutation(n).astype(np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(list(x.astype(np.float32)),
+                              pa.list_(pa.float32(), d)),
+    })
+    got = kmeans_embeddings(_ds(tbl).repartition(4), k=k, iters=3,
+                            round_to=6).to_pandas()
+    cl, a, cent = _lloyd_reference(x.astype(np.float32).astype(np.float64),
+                                   ids, k, 3)
+    exp_n = {c: int((a == c).sum()) for c in cl}
+    got_n = got.groupby("cluster")["n"].first().to_dict()
+    assert got_n == exp_n
+    got_c = got.pivot(index="cluster", columns="dim", values="centroid")
+    exp_c = np.round(cent, 6)
+    np.testing.assert_allclose(got_c.loc[cl].to_numpy(), exp_c, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# rollup
+# ---------------------------------------------------------------------------
+
+def test_rollup_levels_consistent(ray_session):
+    import __ray_entry__ as entry
+
+    out = entry._q_rollup_revenue("/root/testdata/sf0.001").to_pandas()
+    leaf = out[(out["l_returnflag"] != "ALL")
+               & (out["l_linestatus"] != "ALL")]
+    mid = out[(out["l_returnflag"] != "ALL")
+              & (out["l_linestatus"] == "ALL")].set_index("l_returnflag")
+    top = out[(out["l_returnflag"] == "ALL")]
+    for rf, grp in leaf.groupby("l_returnflag"):
+        assert mid.loc[rf, "revenue_cents"] == grp["revenue_cents"].sum()
+        assert mid.loc[rf, "n_lines"] == grp["n_lines"].sum()
+    assert top["revenue_cents"].iloc[0] == leaf["revenue_cents"].sum()
+    assert top["n_lines"].iloc[0] == leaf["n_lines"].sum()

@@ -61,7 +61,13 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
                     f"col {col}: {int(neq.sum())} diffs, first@{i}: "
                     f"{av[i]!r} vs {bv[i]!r} (delta {av[i]-bv[i]:.3e})")
         else:
-            neq = av.astype(str) != bv.astype(str)
+            # NOT astype(str): numpy would build a fixed-width U array
+            # (max_len x 4 B x n_rows — multi-GB for long-document cols)
+            avs = np.fromiter((str(x) for x in av), dtype=object,
+                              count=len(av))
+            bvs = np.fromiter((str(x) for x in bv), dtype=object,
+                              count=len(bv))
+            neq = avs != bvs
             if neq.any():
                 i = int(np.argmax(neq))
                 problems.append(
