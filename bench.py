@@ -27,7 +27,8 @@ BENCH_QUERIES = ["doc_line_stats", "pii_scrub", "lineage_sha256",
                  "grouped_stats", "exact_dedup", "minhash_dedup",
                  "token_counts", "q1_pricing", "events_hourly",
                  "knn_cosine", "decontaminate", "top_terms",
-                 "docprep", "events_in_window", "bucketed_join_revenue"]
+                 "docprep", "events_in_window", "bucketed_join_revenue",
+                 "boilerplate_lines", "doc_chunks", "kmeans_embeddings"]
 
 
 def _consume(obj) -> int:

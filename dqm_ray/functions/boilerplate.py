@@ -4,17 +4,21 @@ license headers, nav chrome, generated banners.
 
 Scale shape (three streaming passes, content never enters a shuffle):
 
-1. **Count pass** — each batch splits its docs into lines, hashes the
-   candidate lines (length >= ``min_len``), dedupes per doc, and emits
-   pre-aggregated ``(line_hash, n_docs)`` partials; one groupby-sum over
-   16 B rows yields per-hash document frequencies.
+1. **Count pass** — each batch splits its docs into lines,
+   dictionary-encodes them (one Arrow C++ hash-table pass; only the
+   DISTINCT lines are hashed), dedupes per doc, and emits
+   ``(part, line_hash, n_docs)`` partials. Because most corpus lines
+   are globally unique, partials barely compress — so the global merge
+   is a 64-way hash-part groupby with one vectorized unique+bincount
+   reduce per part, and the ``>= min_docs`` filter runs INSIDE the
+   reducer so only surviving hashes leave the shuffle.
 2. **Verify pass** — hashes passing the threshold are a heavy-hitter set
    (bounded by corpus_size / min_docs); they broadcast once via
    ``ray.put`` and a second pass re-counts ONLY candidate lines grouped
    by their exact text, so a 64-bit collision between a rare line and a
    frequent one cannot remove the wrong line (the rare line fails the
    threshold on its own text). Only candidate line text enters this
-   shuffle, bounded by the heavy-hitter set.
+   shuffle (same part-reduce shape), bounded by the heavy-hitter set.
 3. **Clean pass** — the frequent line texts broadcast once; each batch
    filters its flattened line array with one vectorized ``is_in``,
    rebuilds the list offsets, and joins the kept lines back.
@@ -47,15 +51,43 @@ def _line_arrays(batch: pa.Table, text_col: str):
     return lines, flat, rows
 
 
-def _doc_distinct(h: np.ndarray, rows: np.ndarray) -> np.ndarray:
-    """Hashes deduped within each doc (one entry per (doc, line-value))."""
-    if not len(h):
-        return h
-    order = np.lexsort((rows, h))
-    hs, rs = h[order], rows[order]
-    first = np.ones(len(hs), dtype=bool)
-    first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
-    return hs[first]
+def _encode_lines(flat: pa.Array):
+    """(codes int64, dict_hash int64, dictionary) for a flat line array.
+
+    One Arrow C++ ``dictionary_encode`` hash-table pass collapses the
+    batch to its DISTINCT lines, and only that (much smaller) dictionary
+    goes through ``pd.util.hash_array`` — per-line Python-object
+    materialization over all ~60M corpus lines was the whole-corpus
+    bottleneck, and a hand-rolled numpy byte-buffer kernel is worse on
+    this host (fresh multi-hundred-MB temporaries page-fault at
+    ~100 MB/s; see BASELINE.md perf notes). The siphash key is fixed, so
+    hashes are consistent across batches/processes. int64 bit-pattern
+    (not uint64): Ray's aggregate path round-trips Python ints, where
+    uint64 > 2^63 overflows."""
+    if len(flat) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), flat)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dic = enc.dictionary
+    dh = pd.util.hash_array(
+        dic.to_numpy(zero_copy_only=False)).view(np.int64)
+    return codes, dh, dic
+
+
+def _doc_distinct_counts(codes: np.ndarray, rows: np.ndarray,
+                         dict_size: int):
+    """Distinct-document count per dictionary code: dedupe (doc, code)
+    pairs with one integer lexsort, then bincount the survivors.
+    Returns (codes_present, n_docs) for codes with >= 1 doc."""
+    if not len(codes):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.lexsort((rows, codes))
+    cs, rs = codes[order], rows[order]
+    first = np.ones(len(cs), dtype=bool)
+    first[1:] = (cs[1:] != cs[:-1]) | (rs[1:] != rs[:-1])
+    counts = np.bincount(cs[first], minlength=dict_size)
+    uniq = np.nonzero(counts)[0].astype(np.int64)
+    return uniq, counts[uniq].astype(np.int64)
 
 
 def remove_boilerplate_lines(ds, *, text_col: str = "text",
@@ -70,27 +102,35 @@ def remove_boilerplate_lines(ds, *, text_col: str = "text",
     lines re-join with ``\\n`` (docs losing every line become '').
     """
     import ray
-    from ray.data.aggregate import Sum
 
+    # Most corpus lines are unique, so per-batch partials barely
+    # compress and a full sort-groupby over them is the dominant cost.
+    # Instead: 64-way hash-part groupby (sort key = tiny int32) and one
+    # vectorized unique+bincount reduce per part, with the >= min_docs
+    # filter INSIDE the reducer so only survivors leave the shuffle.
     def count_partial(batch: pa.Table) -> pa.Table:
         _, flat, rows = _line_arrays(batch, text_col)
-        keep = pc.greater_equal(pc.utf8_length(flat), min_len) \
+        codes, dh, dic = _encode_lines(flat)
+        # length filter evaluated once per DISTINCT line, not per line
+        long_enough = pc.greater_equal(pc.utf8_length(dic), min_len) \
             .to_numpy(zero_copy_only=False)
-        idx = np.nonzero(keep)[0]
-        # int64 bit-pattern of the uint64 hash: Ray's aggregate/filter
-        # path round-trips values through Python ints, where uint64 >
-        # 2^63 overflows — the ordering only needs to be self-consistent
-        h = pd.util.hash_array(
-            flat.take(pa.array(idx)).to_numpy(zero_copy_only=False)) \
-            .view(np.int64)
-        hs = _doc_distinct(h, rows[idx])
-        uniq, n = np.unique(hs, return_counts=True)
-        return pa.table({"h": pa.array(uniq, pa.int64()),
-                         "n": pa.array(n, pa.int64())})
+        m = long_enough[codes] if len(codes) else np.zeros(0, bool)
+        cs, n_docs = _doc_distinct_counts(codes[m], rows[m], len(dic))
+        h = dh[cs]
+        return pa.table({"part": pa.array((h & 63).astype(np.int32)),
+                         "h": pa.array(h, pa.int64()),
+                         "n": pa.array(n_docs, pa.int64())})
+
+    def reduce_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["h"].to_numpy()
+        uh, inv = np.unique(h, return_inverse=True)
+        tot = np.bincount(inv, weights=df["n"].to_numpy(),
+                          minlength=len(uh)).astype(np.int64)
+        return pd.DataFrame({"h": uh[tot >= min_docs]})
 
     cand = ds.map_batches(count_partial, batch_format="pyarrow") \
-        .groupby("h").aggregate(Sum("n", alias_name="n")) \
-        .filter(expr=f"n >= {min_docs}").to_pandas()
+        .groupby("part").map_groups(reduce_hashes, batch_format="pandas") \
+        .to_pandas()
     # an all-filtered Dataset can surface as a 0-column DataFrame
     cand_h = (np.sort(cand["h"].to_numpy(dtype=np.int64))
               if "h" in cand.columns else np.empty(0, np.int64))
@@ -99,30 +139,30 @@ def remove_boilerplate_lines(ds, *, text_col: str = "text",
     def verify_partial(batch: pa.Table) -> pa.Table:
         c = ray.get(cand_ref)
         _, flat, rows = _line_arrays(batch, text_col)
-        keep = pc.greater_equal(pc.utf8_length(flat), min_len) \
-            .to_numpy(zero_copy_only=False)
-        idx = np.nonzero(keep)[0]
-        sub = flat.take(pa.array(idx))
-        h = pd.util.hash_array(sub.to_numpy(zero_copy_only=False)) \
-            .view(np.int64)
-        if len(c):
-            pos = np.minimum(np.searchsorted(c, h), len(c) - 1)
-            m = c[pos] == h
+        codes, dh, dic = _encode_lines(flat)
+        # candidate probe once per DISTINCT line
+        if len(c) and len(dh):
+            pos = np.minimum(np.searchsorted(c, dh), len(c) - 1)
+            cand_dict = (c[pos] == dh) & pc.greater_equal(
+                pc.utf8_length(dic), min_len).to_numpy(zero_copy_only=False)
         else:
-            m = np.zeros(len(h), dtype=bool)
-        sel = np.nonzero(m)[0]
-        # exact doc-distinct on the candidate subset's TEXT
-        txt = sub.take(pa.array(sel))
-        r = rows[idx][sel]
-        df = pd.DataFrame({"line": txt.to_numpy(zero_copy_only=False),
-                           "r": r}).drop_duplicates()
-        vc = df["line"].value_counts()
-        return pa.table({"line": pa.array(vc.index.to_numpy(), pa.string()),
-                         "n": pa.array(vc.to_numpy(), pa.int64())})
+            cand_dict = np.zeros(len(dh), dtype=bool)
+        m = cand_dict[codes] if len(codes) else np.zeros(0, bool)
+        # exact doc-distinct count keyed by the candidate line TEXT
+        # (dictionary value) — a 64-bit collision cannot merge two lines
+        cs, n_docs = _doc_distinct_counts(codes[m], rows[m], len(dic))
+        h = dh[cs]
+        return pa.table({"part": pa.array((h & 63).astype(np.int32)),
+                         "line": dic.take(pa.array(cs, pa.int64())),
+                         "n": pa.array(n_docs, pa.int64())})
+
+    def reduce_lines(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("line", sort=False)["n"].sum()
+        return pd.DataFrame({"line": g.index[g.to_numpy() >= min_docs]})
 
     freq = ds.map_batches(verify_partial, batch_format="pyarrow") \
-        .groupby("line").aggregate(Sum("n", alias_name="n")) \
-        .filter(expr=f"n >= {min_docs}").to_pandas()
+        .groupby("part").map_groups(reduce_lines, batch_format="pandas") \
+        .to_pandas()
     freq_lines = (np.sort(freq["line"].to_numpy())
                   if "line" in freq.columns else np.empty(0, object))
     freq_ref = ray.put(pa.array(freq_lines, pa.string()))
