@@ -499,21 +499,30 @@ def _q_union_counts(sf_dir: str):
 
 def _q_user_sessions(sf_dir: str):
     """Sessionization (streaming-window shape): per user, count sessions
-    separated by >30 min gaps — groupby(key).map_groups over the
-    ts-sorted group (ordering assumption: ts sorted within group)."""
-    import pandas as pd
+    separated by >30 min gaps. Uses the hash-part windowing runner
+    (dqm_ray/functions/windows.py): 64 co-location parts, ONE lexsorted
+    numpy pass per part — not one pandas group per user (the
+    many-tiny-groups pathology the naive groupby(user).map_groups
+    shape has at web scale)."""
     import ray.data as rd
+    from dqm_ray.functions.windows import sessionize
 
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts"])
+    return sessionize(ds, key_col="user_id", ts_col="ts", gap_minutes=30)
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy())
-        gaps = np.diff(ts) > np.timedelta64(30 * 60, "s")
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": np.int64(1 + gaps.sum())})
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+def _q_key_deltas(sf_dir: str):
+    """Per-user inter-event gap stats (lag/delta window): n_events plus
+    mean/max gap seconds with the reference's n<=1 -> -1 sentinel
+    contract (src/algs/STD.cpp:21-48). Exact integer-microsecond
+    accumulation -> bitwise-equal to the SQL oracle, no round()."""
+    import ray.data as rd
+    from dqm_ray.functions.windows import key_deltas
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return key_deltas(ds, key_col="user_id", ts_col="ts")
 
 
 def _q_events_sliding(sf_dir: str):
@@ -1197,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_no_urgent": _q_anti_join_no_urgent,
         "rollup_revenue": _q_rollup_revenue,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "key_deltas": _q_key_deltas,
     }
 
 
@@ -2154,4 +2164,22 @@ def oracle_sql() -> dict[str, str]:
                                 e.vec_id) AS rn
               FROM embeddings e, q)
             WHERE rn <= 10""",
+        # gap sums are exact BIGINT microseconds on both sides; the only
+        # float ops are the final /n/1e6 divisions in the SAME order as
+        # the Ray kernel (windows.py key_deltas) -> bitwise match.
+        "key_deltas": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CASE WHEN COUNT(*) > 1
+                        THEN CAST(SUM(gap_us) AS DOUBLE)
+                             / (COUNT(*) - 1) / 1e6
+                        ELSE -1.0 END AS mean_gap_s,
+                   CASE WHEN COUNT(*) > 1
+                        THEN CAST(MAX(gap_us) AS DOUBLE) / 1e6
+                        ELSE -1.0 END AS max_gap_s
+            FROM (SELECT user_id, ts,
+                         COALESCE(date_diff('microsecond',
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts), ts), 0) AS gap_us
+                  FROM events)
+            GROUP BY user_id""",
     }

@@ -1,0 +1,110 @@
+"""Per-key ordered windowing (sessions, lag/deltas) at scale.
+
+The naive shape — ``groupby(key).map_groups(fn)`` with one pandas group
+per user — is the many-tiny-groups pathology (millions of per-group
+dispatches, one task per key). Instead every operator here co-locates
+keys with a 64-way hash-part groupby and runs ONE vectorized pass per
+part: lexsort the part by ``(key, order_col)``, then compute gaps /
+lags with ``np.diff`` masked at key boundaries. The shuffle moves only
+the columns the window needs (key, order, value), never payloads.
+
+Reference parity: the reference evaluates per-channel streams in record
+order inside a single process (ChannelStream run loop,
+src/DQMModule.cxx run path); hash-part co-location is the Ray-native
+equivalent of its per-channel iteration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _with_part(ds, key_col: str, n_parts: int = 64):
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if k.dtype.kind in "iu":
+            k = k.astype(np.int64)
+        part = (pd.util.hash_array(k) % n_parts).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    return ds.map_batches(add_part, batch_format="pyarrow")
+
+
+def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+               gap_minutes: int = 30):
+    """Per-key session count: sessions are maximal runs of events with
+    consecutive gaps <= ``gap_minutes``. One vectorized pass per
+    hash-part; a part holds MANY keys (bounded #groups, no per-key
+    dispatch)."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def part_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key_col].to_numpy()
+        ts = df[ts_col].to_numpy()
+        order = np.lexsort((ts, k))
+        k, ts = k[order], ts[order]
+        if not len(k):
+            return pd.DataFrame({key_col: k, "n_sessions": np.empty(0, np.int64)})
+        new_key = np.ones(len(k), dtype=bool)
+        new_key[1:] = k[1:] != k[:-1]
+        breaks = new_key.copy()
+        breaks[1:] |= (ts[1:] - ts[:-1]) > gap
+        uk = k[new_key]
+        n = np.bincount(np.cumsum(new_key) - 1, weights=breaks) \
+            .astype(np.int64)
+        return pd.DataFrame({key_col: uk, "n_sessions": n})
+
+    return _with_part(ds, key_col).groupby("part") \
+        .map_groups(part_sessions, batch_format="pandas")
+
+
+def key_deltas(ds, *, key_col: str = "user_id", ts_col: str = "ts"):
+    """Per-key inter-event gap stats: n_events, mean/max gap in seconds
+    (keys with one event get n_gaps = 0 and NULL-free −1 sentinels,
+    mirroring the reference's n<=1 STD sentinel contract,
+    src/algs/STD.cpp:21-48).
+
+    Gaps are accumulated in integer MICROSECONDS (exact in float64 up
+    to 2^53 us ≈ 285 years of gap per key), so sums are
+    order-independent and the derived mean is bitwise-identical to the
+    SQL oracle's ``SUM(gap_us)/n/1e6`` with no rounding fudge."""
+
+    def part_deltas(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key_col].to_numpy()
+        ts = df[ts_col].to_numpy()
+        order = np.lexsort((ts, k))
+        k, ts = k[order], ts[order]
+        if not len(k):
+            return pd.DataFrame({
+                key_col: k,
+                "n_events": np.empty(0, np.int64),
+                "mean_gap_s": np.empty(0, np.float64),
+                "max_gap_s": np.empty(0, np.float64)})
+        new_key = np.ones(len(k), dtype=bool)
+        new_key[1:] = k[1:] != k[:-1]
+        seg = np.cumsum(new_key) - 1
+        uk = k[new_key]
+        n_events = np.bincount(seg).astype(np.int64)
+        d_us = np.zeros(len(k), np.int64)
+        d_us[1:] = (ts[1:] - ts[:-1]).astype("timedelta64[us]") \
+            .astype(np.int64)
+        d_us[new_key] = 0
+        sum_us = np.bincount(seg, weights=d_us)  # integer-valued floats
+        # per-segment max via maximum.reduceat over segment starts
+        starts = np.nonzero(new_key)[0]
+        max_us = np.maximum.reduceat(d_us, starts)
+        n_gaps = n_events - 1
+        has = n_gaps > 0
+        mean_gap = np.where(
+            has, sum_us / np.maximum(n_gaps, 1) / 1e6, -1.0)
+        max_gap = np.where(has, max_us / 1e6, -1.0)
+        return pd.DataFrame({
+            key_col: uk,
+            "n_events": n_events,
+            "mean_gap_s": mean_gap,
+            "max_gap_s": max_gap})
+
+    return _with_part(ds, key_col).groupby("part") \
+        .map_groups(part_deltas, batch_format="pandas")

@@ -1,0 +1,80 @@
+"""Hash-part windowing ops (dqm_ray/functions/windows.py) vs a naive
+pandas reference: sessionize and key_deltas must match an independent
+per-key python computation, including the n<=1 -> -1 sentinel contract
+(src/algs/STD.cpp:21-48) and exact integer-us mean/max gaps."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _events(n=4000, n_users=73, seed=5):
+    rng = np.random.default_rng(seed)
+    user = rng.integers(0, n_users, n)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + rng.integers(0, 30 * 86400_000_000, n).astype(
+        "timedelta64[us]")
+    # plant exact-duplicate timestamps (tie handling) and a lonely user
+    ts[1] = ts[0]
+    user[1] = user[0]
+    user[2] = n_users + 7  # singleton key -> sentinel path
+    return pd.DataFrame({"user_id": user.astype(np.int64), "ts": ts})
+
+
+def _naive_sessions(df, gap_minutes=30):
+    out = {}
+    for uid, g in df.groupby("user_id"):
+        ts = np.sort(g["ts"].to_numpy())
+        gaps = np.diff(ts) > np.timedelta64(gap_minutes * 60, "s")
+        out[uid] = 1 + int(gaps.sum())
+    return out
+
+
+def test_sessionize_matches_naive(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.windows import sessionize
+
+    df = _events()
+    got = sessionize(rd.from_pandas(df), key_col="user_id",
+                     ts_col="ts", gap_minutes=30).to_pandas()
+    want = _naive_sessions(df)
+    assert len(got) == len(want)
+    got = dict(zip(got["user_id"], got["n_sessions"]))
+    assert got == want
+
+
+def test_key_deltas_matches_naive_and_sentinel(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.windows import key_deltas
+
+    df = _events()
+    got = key_deltas(rd.from_pandas(df), key_col="user_id",
+                     ts_col="ts").to_pandas().set_index("user_id")
+    for uid, g in df.groupby("user_id"):
+        ts = np.sort(g["ts"].to_numpy())
+        row = got.loc[uid]
+        assert row["n_events"] == len(ts)
+        if len(ts) <= 1:
+            assert row["mean_gap_s"] == -1.0
+            assert row["max_gap_s"] == -1.0
+        else:
+            d_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+            assert row["mean_gap_s"] == pytest.approx(
+                float(d_us.sum()) / len(d_us) / 1e6, abs=0, rel=1e-12)
+            assert row["max_gap_s"] == d_us.max() / 1e6
+
+
+def test_sessionize_string_keys(ray_session):
+    """_with_part must hash non-integer keys too."""
+    import ray.data as rd
+
+    from dqm_ray.functions.windows import sessionize
+
+    df = _events(n=500, n_users=11)
+    df["user_id"] = "u" + df["user_id"].astype(str)
+    got = sessionize(rd.from_pandas(df), key_col="user_id",
+                     ts_col="ts").to_pandas()
+    want = _naive_sessions(df)
+    assert dict(zip(got["user_id"], got["n_sessions"])) == want
