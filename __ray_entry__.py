@@ -525,6 +525,19 @@ def _q_key_deltas(sf_dir: str):
     return key_deltas(ds, key_col="user_id", ts_col="ts")
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition filters (Rae et al. 2021): per-doc
+    dup-line / dup-word fractions and top-2/3-gram char coverage —
+    one shuffle-free map_batches pass, exact token identity via
+    dictionary_encode + hierarchical np.unique (no hash collisions)."""
+    import ray.data as rd
+    from dqm_ray.functions.repetition import repetition_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return repetition_stats(ds)
+
+
 def _q_events_sliding(sf_dir: str):
     """Sliding window (1 h wide, 30 min hop): each event lands in exactly
     two windows — emit both window keys per row inside map_batches, then
@@ -1207,6 +1220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": _q_rollup_revenue,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "key_deltas": _q_key_deltas,
+        "repetition_stats": _q_repetition_stats,
     }
 
 
@@ -2182,4 +2196,62 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts), ts), 0) AS gap_us
                   FROM events)
             GROUP BY user_id""",
+        # list-comprehension restatement of repetition.py: same split
+        # semantics (verified: str_split_regex('\\s+') == Arrow
+        # utf8_split_whitespace incl. edge empties, filtered both
+        # sides), same tie contract (count DESC, first occurrence ASC),
+        # all fractions a single int/int -> DOUBLE division.
+        "repetition_stats": """
+            WITH base AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     list_filter(str_split_regex(text, '\\s+'),
+                                 w -> w <> '') AS words,
+                     str_split(text, chr(10)) AS lines
+              FROM documents
+            ),
+            g2 AS (
+              SELECT doc_id, n_chars,
+                     unnest(list_transform(range(1, len(words)), i ->
+                       struct_pack(gram := words[i] || ' ' || words[i+1],
+                                   idx := i))) AS g
+              FROM base),
+            c2 AS (SELECT doc_id, any_value(n_chars) AS n_chars,
+                          g.gram AS gram, count(*) AS c, min(g.idx) AS fi
+                   FROM g2 GROUP BY doc_id, g.gram),
+            t2 AS (SELECT doc_id,
+                          CAST(c * length(gram) AS DOUBLE) / n_chars
+                              AS frac,
+                          row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, fi ASC) AS rn
+                   FROM c2),
+            g3 AS (
+              SELECT doc_id, n_chars,
+                     unnest(list_transform(range(1, len(words) - 1), i ->
+                       struct_pack(gram := words[i] || ' ' || words[i+1]
+                                           || ' ' || words[i+2],
+                                   idx := i))) AS g
+              FROM base),
+            c3 AS (SELECT doc_id, any_value(n_chars) AS n_chars,
+                          g.gram AS gram, count(*) AS c, min(g.idx) AS fi
+                   FROM g3 GROUP BY doc_id, g.gram),
+            t3 AS (SELECT doc_id,
+                          CAST(c * length(gram) AS DOUBLE) / n_chars
+                              AS frac,
+                          row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, fi ASC) AS rn
+                   FROM c3)
+            SELECT b.doc_id,
+                   CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                       / len(lines) AS dup_line_frac,
+                   CASE WHEN len(words) > 0
+                        THEN CAST(len(words) - len(list_distinct(words))
+                                  AS DOUBLE) / len(words)
+                        ELSE 0.0 END AS dup_word_frac,
+                   coalesce(t2.frac, 0.0) AS top2gram_frac,
+                   coalesce(t3.frac, 0.0) AS top3gram_frac
+            FROM base b
+            LEFT JOIN (SELECT doc_id, frac FROM t2 WHERE rn = 1) t2
+              USING (doc_id)
+            LEFT JOIN (SELECT doc_id, frac FROM t3 WHERE rn = 1) t3
+              USING (doc_id)""",
     }

@@ -1,0 +1,148 @@
+"""Gopher-style repetition statistics per document.
+
+Four deterministic per-doc metrics used by large-scale LLM-corpus
+quality filters (Rae et al. 2021, "Scaling Language Models" — the
+repetition-filter family):
+
+- ``dup_line_frac``  — fraction of newline-split lines that repeat an
+  earlier line of the same doc;
+- ``dup_word_frac``  — same for whitespace tokens;
+- ``top2gram_frac`` / ``top3gram_frac`` — fraction of the doc's
+  characters covered by the single most frequent word n-gram
+  (occurrences × gram char length / doc char length; ties break by
+  count DESC then first-occurrence ASC, so the value is deterministic).
+
+Scale shape: a pure per-doc metric — ONE embarrassingly-parallel
+``map_batches`` pass, no shuffle, nothing but the stats leaves the
+task. All kernels are Arrow/numpy over the batch's flattened
+line/word list arrays: ``dictionary_encode`` gives exact (not hashed)
+token codes, n-gram identity is a hierarchical ``np.unique`` re-code
+of adjacent code tuples (exact equality — immune to the 64-bit-hash
+collision pathology), and per-(doc, gram) counting is one lexsort +
+run-length pass for the whole batch.
+
+Reference parity: per-record derived metrics appended by an analysis
+module before thresholding (reference rule-module shape,
+include/dqm/AnalysisModule.hpp run loop); the SQL oracle in
+``__ray_entry__.oracle_sql()['repetition_stats']`` restates the whole
+contract as one DuckDB list-comprehension program.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _per_doc_distinct(doc: np.ndarray, codes: np.ndarray,
+                      n_docs: int) -> np.ndarray:
+    """Count distinct codes per doc (doc ids are 0..n_docs-1)."""
+    if not len(doc):
+        return np.zeros(n_docs, np.int64)
+    order = np.lexsort((codes, doc))
+    d, c = doc[order], codes[order]
+    first = np.ones(len(d), bool)
+    first[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+    return np.bincount(d[first], minlength=n_docs).astype(np.int64)
+
+
+def _top_gram_frac(wdoc: np.ndarray, wcodes: np.ndarray,
+                   wlen: np.ndarray, pos: np.ndarray,
+                   n_chars: np.ndarray, n_docs: int,
+                   gram_n: int) -> np.ndarray:
+    """Fraction of chars covered by each doc's most frequent n-gram."""
+    out = np.zeros(n_docs, np.float64)
+    m = len(wdoc)
+    if m < gram_n:
+        return out
+    # gram start positions whose whole span stays inside one doc
+    # (wdoc is sorted, so equal endpoints ⇒ equal span)
+    valid = wdoc[: m - gram_n + 1] == wdoc[gram_n - 1:]
+    idx0 = np.nonzero(valid)[0]
+    if not len(idx0):
+        return out
+    gdoc = wdoc[idx0]
+    gidx = pos[idx0]
+    # exact gram identity: fold codes pairwise, re-code each level so
+    # intermediate keys stay < m*V (bounded, collision-free)
+    key = wcodes[idx0].astype(np.int64)
+    v = int(wcodes.max()) + 1
+    glen = wlen[idx0].astype(np.int64) + (gram_n - 1)  # joining spaces
+    for j in range(1, gram_n):
+        key = np.unique(key * v + wcodes[idx0 + j], return_inverse=True)[1]
+        glen += wlen[idx0 + j]
+    # one run-length pass per batch: count + first idx per (doc, gram)
+    order = np.lexsort((gidx, key, gdoc))
+    d, k, gi = gdoc[order], key[order], gidx[order]
+    first = np.ones(len(d), bool)
+    first[1:] = (d[1:] != d[:-1]) | (k[1:] != k[:-1])
+    starts = np.nonzero(first)[0]
+    cnt = np.diff(np.append(starts, len(d)))
+    fi = gi[starts]  # min first-occurrence: gidx is the lexsort minor key
+    run_doc = d[starts]
+    run_glen = glen[order][starts]
+    # winner per doc: count DESC, first occurrence ASC
+    sel = np.lexsort((fi, -cnt, run_doc))
+    d2 = run_doc[sel]
+    lead = np.ones(len(d2), bool)
+    lead[1:] = d2[1:] != d2[:-1]
+    best = sel[lead]
+    bd = run_doc[best]
+    out[bd] = cnt[best] * run_glen[best] / n_chars[bd]
+    return out
+
+
+def repetition_stats_batch(batch: pa.Table, *, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    text = batch.column(text_col).combine_chunks()
+    n = len(text)
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+
+    lines = pc.split_pattern(text, "\n")
+    ldoc = np.repeat(np.arange(n),
+                     pc.list_value_length(lines).to_numpy())
+    lcodes = np.asarray(lines.flatten().dictionary_encode().indices,
+                        dtype=np.int64)
+    lt = np.bincount(ldoc, minlength=n).astype(np.int64)  # >=1 always
+    ld = _per_doc_distinct(ldoc, lcodes, n)
+    dup_line = (lt - ld) / lt
+
+    words = pc.utf8_split_whitespace(text)
+    wdoc = np.repeat(np.arange(n),
+                     pc.list_value_length(words).to_numpy())
+    wvals = words.flatten()
+    wlen = pc.utf8_length(wvals).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    keep = wlen > 0  # split artifacts at doc edges, excluded both sides
+    wdoc, wlen = wdoc[keep], wlen[keep]
+    wcodes = np.asarray(wvals.dictionary_encode().indices,
+                        dtype=np.int64)[keep]
+    wt = np.bincount(wdoc, minlength=n).astype(np.int64)
+    wd = _per_doc_distinct(wdoc, wcodes, n)
+    dup_word = np.where(wt > 0, (wt - wd) / np.maximum(wt, 1), 0.0)
+    starts = np.cumsum(wt) - wt
+    pos = np.arange(len(wdoc)) - starts[wdoc]
+
+    top2 = _top_gram_frac(wdoc, wcodes, wlen, pos, n_chars, n, 2)
+    top3 = _top_gram_frac(wdoc, wcodes, wlen, pos, n_chars, n, 3)
+
+    return pa.table({
+        id_col: batch.column(id_col),
+        "dup_line_frac": pa.array(dup_line, pa.float64()),
+        "dup_word_frac": pa.array(dup_word, pa.float64()),
+        "top2gram_frac": pa.array(top2, pa.float64()),
+        "top3gram_frac": pa.array(top3, pa.float64()),
+    })
+
+
+def repetition_stats(ds, *, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Dataset-level entry: one map_batches pass, no shuffle."""
+    import functools
+
+    return ds.map_batches(
+        functools.partial(repetition_stats_batch, text_col=text_col,
+                          id_col=id_col),
+        batch_format="pyarrow")

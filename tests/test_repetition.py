@@ -1,0 +1,79 @@
+"""Gopher-style repetition stats (functions/repetition.py) vs a naive
+python Counter implementation, including the deterministic tie contract
+(count DESC, first occurrence ASC) and edge docs (empty, one word,
+leading/trailing whitespace)."""
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _naive(s):
+    lines = s.split("\n")
+    words = [w for w in re.split(r"\s+", s) if w]
+    dl = (len(lines) - len(set(lines))) / len(lines)
+    dw = (len(words) - len(set(words))) / len(words) if words else 0.0
+
+    def topn(nn):
+        grams = [" ".join(words[j:j + nn])
+                 for j in range(len(words) - nn + 1)]
+        if not grams:
+            return 0.0
+        c = Counter(grams)
+        best = sorted(c.items(),
+                      key=lambda kv: (-kv[1], grams.index(kv[0])))[0]
+        return best[1] * len(best[0]) / len(s)
+
+    return dl, dw, topn(2), topn(3)
+
+
+def _random_texts(n=300, seed=7):
+    rng = np.random.default_rng(seed)
+    vocab = ["the", "cat", "sat", "on", "mat", "a", "b", "lorem",
+             "ipsum", "x"]
+    out = []
+    for _ in range(n):
+        k = int(rng.integers(0, 40))
+        words = rng.choice(vocab, size=k).tolist()
+        sep = rng.choice([" ", "\n", "  ", "\t"], size=max(k - 1, 0))
+        s = "".join(w + (sep[i] if i < len(sep) else "")
+                    for i, w in enumerate(words))
+        if rng.random() < 0.2:
+            s = " " + s + "  "
+        out.append(s)
+    out += ["", "one", "a a a a", "x y\nx y\nz"]
+    return out
+
+
+def test_repetition_stats_matches_naive():
+    from dqm_ray.functions.repetition import repetition_stats_batch
+
+    texts = _random_texts()
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = repetition_stats_batch(t).to_pandas()
+    for i, s in enumerate(texts):
+        dl, dw, t2, t3 = _naive(s)
+        row = got.iloc[i]
+        assert row["dup_line_frac"] == pytest.approx(dl, abs=0), (i, s)
+        assert row["dup_word_frac"] == pytest.approx(dw, abs=0), (i, s)
+        assert row["top2gram_frac"] == pytest.approx(t2, abs=0), (i, s)
+        assert row["top3gram_frac"] == pytest.approx(t3, abs=0), (i, s)
+
+
+def test_repetition_stats_dataset(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.repetition import (repetition_stats,
+                                              repetition_stats_batch)
+
+    texts = _random_texts(n=100, seed=13)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = repetition_stats(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = repetition_stats_batch(t).to_pandas()
+    assert (got == want).all().all()
