@@ -538,6 +538,22 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(ds)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Training-sequence packing: global exclusive token-offset scan
+    (range-binned two-phase prefix sum — shuffle moves only 256
+    (bin, sum) integer rows, never documents) then seq_id =
+    offset // budget. Distributed restatement of the reference's
+    sequential record numbering (src/DQMModule.cxx run loop)."""
+    from dqm_ray.functions.scan import pack_sequences
+    from dqm_ray.functions.text import token_count_batch
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_tokens"])
+    return pack_sequences(ds, order_col="doc_id", tokens_col="n_tokens",
+                          budget=2048)
+
+
 def _q_events_sliding(sf_dir: str):
     """Sliding window (1 h wide, 30 min hop): each event lands in exactly
     two windows — emit both window keys per row inside map_batches, then
@@ -1221,6 +1237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _q_kmeans_embeddings,
         "key_deltas": _q_key_deltas,
         "repetition_stats": _q_repetition_stats,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -2254,4 +2271,21 @@ def oracle_sql() -> dict[str, str]:
               USING (doc_id)
             LEFT JOIN (SELECT doc_id, frac FROM t3 WHERE rn = 1) t3
               USING (doc_id)""",
+        # exclusive ordered scan == SUM ... ROWS UNBOUNDED PRECEDING
+        # AND 1 PRECEDING; integer cumsum -> bitwise-exact both sides.
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS token_offset
+              FROM t)
+            SELECT doc_id, n_tokens, token_offset,
+                   CAST(token_offset // 2048 AS BIGINT) AS seq_id
+            FROM s""",
     }

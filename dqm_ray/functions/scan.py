@@ -1,0 +1,115 @@
+"""Distributed ordered prefix-scan and sequence packing.
+
+``ordered_prefix_sum`` computes, for every row, the exclusive sum of
+``value_col`` over all rows with a smaller ``order_col`` — the global
+ordered scan primitive behind training-sequence packing, ordered
+sharding and byte-offset assignment.
+
+Scale shape (two-phase scan, no global sort):
+
+1. one pass computes per-RANGE-BIN partial sums — each batch emits at
+   most ``n_bins`` tiny ``(bin, sum)`` rows, so the shuffle moves
+   O(batches x bins) integers, never data rows;
+2. the driver folds the ~``n_bins`` bin sums into exclusive bin
+   offsets (a few KB — this is the textbook scan's "spine" and is the
+   only sequential step);
+3. a 2nd pass groups rows by bin (bounded groups: ``n_bins`` groups of
+   many rows each — NOT per-key tiny groups), sorts each bin in-memory
+   by ``order_col`` and adds ``np.cumsum`` + the bin's offset.
+
+``order_col`` must be unique (ties would make the scan order — and the
+SQL window ``ORDER BY`` — ambiguous); integers only, so partial sums
+are exact and order-independent and the result is bitwise equal to
+``SUM(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) - v``.
+
+Reference parity: the reference's run loop numbers records
+sequentially within a single process (src/DQMModule.cxx record
+counter); the range-binned scan is the distributed equivalent of that
+sequential numbering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+N_BINS = 256
+
+
+def _bin_edges(ds, order_col: str):
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(order_col), Max(order_col))
+    lo, hi = mm[f"min({order_col})"], mm[f"max({order_col})"]
+    width = max((int(hi) - int(lo)) // N_BINS + 1, 1)
+    return int(lo), width
+
+
+def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
+                       out_col: str = "cum_before"):
+    """Append ``out_col``: sum of ``value_col`` over rows with smaller
+    ``order_col`` (exclusive scan). Input column types must be
+    integral."""
+    lo, width = _bin_edges(ds, order_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(order_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = (k - lo) // width
+        # exact int64 accumulation (bincount weights= would round-trip
+        # through float64 and lose >2^53 sums)
+        sums = np.zeros(N_BINS, np.int64)
+        np.add.at(sums, b, v)
+        nz = np.nonzero(sums)[0]
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "s": pa.array(sums[nz], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    bin_rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").aggregate(Sum("s", alias_name="s")).take_all()
+    sums = np.zeros(N_BINS, np.int64)
+    for r in bin_rows:
+        sums[int(r["bin"])] = int(r["s"])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
+
+    def add_bin(batch: pa.Table) -> pa.Table:
+        k = batch.column(order_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = (k - lo) // width
+        return batch.append_column("bin", pa.array(b, pa.int64()))
+
+    def scan_bin(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["bin"].iloc[0])
+        df = df.sort_values(order_col, kind="mergesort") \
+            .reset_index(drop=True)
+        v = df[value_col].to_numpy().astype(np.int64)
+        df[out_col] = np.cumsum(v) - v + offsets[b]
+        return df.drop(columns=["bin"])
+
+    return ds.map_batches(add_bin, batch_format="pyarrow") \
+        .groupby("bin").map_groups(scan_bin, batch_format="pandas")
+
+
+def pack_sequences(ds, *, order_col: str = "doc_id",
+                   tokens_col: str = "n_tokens",
+                   budget: int = 2048):
+    """Training-sequence packing by token-offset binning: documents in
+    ``order_col`` order are laid end to end; a doc starting at global
+    token offset t belongs to sequence ``t // budget``. Deterministic,
+    join-free restatement of greedy sequential packing that a window
+    ``SUM ... OVER (ORDER BY ...)`` reproduces exactly."""
+    out = ordered_prefix_sum(ds, order_col=order_col,
+                             value_col=tokens_col,
+                             out_col="token_offset")
+
+    def seq(batch: pa.Table) -> pa.Table:
+        off = batch.column("token_offset") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "seq_id", pa.array(off // budget, pa.int64()))
+
+    return out.map_batches(seq, batch_format="pyarrow")

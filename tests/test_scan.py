@@ -1,0 +1,75 @@
+"""Distributed ordered prefix-scan (dqm_ray/functions/scan.py) vs a
+naive single-pass pandas cumsum: the range-binned two-phase scan must
+be bitwise-equal to ``SUM(v) OVER (ORDER BY k) - v`` for any unique
+integer key distribution, block split, and value range (incl. sums
+past 2^53 where float64 accumulation would diverge)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _naive(df, order_col, value_col):
+    ref = df.sort_values(order_col).reset_index(drop=True)
+    v = ref[value_col].to_numpy()
+    ref["cum"] = np.cumsum(v) - v
+    return ref
+
+
+@pytest.mark.parametrize("seed,n,spread", [
+    (0, 3000, 10_000),       # dense keys, many per bin
+    (1, 500, 2**40),         # sparse keys, most bins empty
+    (2, 1, 10),              # single row
+])
+def test_prefix_sum_matches_naive(ray_session, seed, n, spread):
+    import ray.data as rd
+
+    from dqm_ray.functions.scan import ordered_prefix_sum
+
+    rng = np.random.default_rng(seed)
+    keys = rng.choice(spread, size=n, replace=False).astype(np.int64)
+    vals = rng.integers(0, 1000, n).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    ds = rd.from_pandas(df).repartition(7)
+    out = ordered_prefix_sum(ds, order_col="k", value_col="v",
+                             out_col="cum").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    ref = _naive(df, "k", "v")
+    assert (out["cum"].to_numpy() == ref["cum"].to_numpy()).all()
+
+
+def test_prefix_sum_exact_past_float53(ray_session):
+    """Values near 2^52 so any float64 partial accumulation loses the
+    low bits; the int64 path must stay exact."""
+    import ray.data as rd
+
+    from dqm_ray.functions.scan import ordered_prefix_sum
+
+    n = 64
+    keys = np.arange(n, dtype=np.int64) * 1000 + 3
+    vals = np.full(n, (1 << 52) + 1, dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"k": keys, "v": vals})).repartition(5)
+    out = ordered_prefix_sum(ds, order_col="k", value_col="v",
+                             out_col="cum").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    expect = np.arange(n, dtype=np.int64) * ((1 << 52) + 1)
+    assert (out["cum"].to_numpy() == expect).all()
+
+
+def test_pack_sequences_budget_boundaries(ray_session):
+    """seq_id = exclusive token offset // budget; docs laid end to end
+    in doc_id order. A doc straddling a boundary belongs to the
+    sequence its FIRST token falls in (offset-binning contract)."""
+    import ray.data as rd
+
+    from dqm_ray.functions.scan import pack_sequences
+
+    df = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                       "n_tokens": np.array([100, 28, 1, 0, 50, 30],
+                                            dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(3)
+    out = pack_sequences(ds, order_col="doc_id", tokens_col="n_tokens",
+                         budget=128).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["token_offset"].tolist() == [0, 100, 128, 129, 129, 179]
+    assert out["seq_id"].tolist() == [0, 0, 1, 1, 1, 1]
