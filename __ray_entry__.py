@@ -554,6 +554,37 @@ def _q_pack_sequences(sf_dir: str):
                           budget=2048)
 
 
+# language-mixture weights for the mixture_epochs query: en upsampled
+# 2.5x (2 full epochs + hash-gated half), zh downsampled to 0.25
+_MIX_WEIGHTS = {"en": 2.5, "de": 1.0, "fr": 0.4, "es": 1.75, "zh": 0.25}
+_MIX_SEED = 11
+
+
+def _q_mixture_epochs(sf_dir: str):
+    """Deterministic domain-mixture epoch upsampling (Pile/LLaMA-style
+    data mixing): floor(w) full copies per doc plus a hash-gated
+    fractional copy — pure per-row function, zero shuffle."""
+    from dqm_ray.functions.sampling import mixture_resample
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+    ds = mixture_resample(ds, key_col="doc_id", stratum_col="lang",
+                          weights=_MIX_WEIGHTS, seed=_MIX_SEED)
+    return ds.select_columns(["doc_id", "lang", "epoch"])
+
+
+_SHUF_SEED = 3
+
+
+def _q_shuffle_order(sf_dir: str):
+    """Deterministic global training-order permutation: bijective
+    multiplicative hash of doc_id ranked by the range-binned prefix
+    scan — reproducible per-epoch shuffle, no random_shuffle."""
+    from dqm_ray.functions.scan import shuffle_rank
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    return shuffle_rank(ds, key_col="doc_id", seed=_SHUF_SEED)
+
+
 def _q_events_sliding(sf_dir: str):
     """Sliding window (1 h wide, 30 min hop): each event lands in exactly
     two windows — emit both window keys per row inside map_batches, then
@@ -1238,6 +1269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_deltas": _q_key_deltas,
         "repetition_stats": _q_repetition_stats,
         "pack_sequences": _q_pack_sequences,
+        "mixture_epochs": _q_mixture_epochs,
+        "shuffle_order": _q_shuffle_order,
     }
 
 
@@ -1954,6 +1987,47 @@ def _kmeans_oracle_sql() -> str:
         FROM a3, unnest(range(1, 65)) t(j) GROUP BY cl, j"""
 
 
+def _mixture_oracle_sql() -> str:
+    """Rebuild mixture_resample's copy count in SQL from the same
+    weight dict + hash constants (sampling.py), so the two sides
+    cannot drift."""
+    import numpy as np
+
+    from dqm_ray.functions.sampling import rate_threshold, sample_sql_hash
+
+    full_case = ("CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {int(np.floor(v))}"
+        for k, v in _MIX_WEIGHTS.items()) + " ELSE 1 END")
+    thr_case = ("CASE lang " + " ".join(
+        f"WHEN '{k}' THEN CAST({rate_threshold(v - np.floor(v))} AS HUGEINT)"
+        for k, v in _MIX_WEIGHTS.items()) + " ELSE CAST(0 AS HUGEINT) END")
+    h = sample_sql_hash("doc_id", seed=_MIX_SEED)
+    return f"""
+        WITH n AS (
+          SELECT doc_id, lang,
+                 {full_case}
+                 + CASE WHEN {h} < {thr_case} THEN 1 ELSE 0 END AS n_copies
+          FROM documents)
+        SELECT doc_id, lang,
+               CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
+        FROM n"""
+
+
+def _shuffle_oracle_sql() -> str:
+    """row_number over the signed-int64 view of the identical keyed
+    hash (scan.py shuffle_rank); bijective -> tie-free."""
+    from dqm_ray.functions.sampling import sample_sql_hash
+
+    h = sample_sql_hash("doc_id", seed=_SHUF_SEED)
+    signed = (f"(CASE WHEN {h} >= 9223372036854775808 "
+              f"THEN {h} - 18446744073709551616 ELSE {h} END)")
+    return f"""
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY {signed}) - 1 AS BIGINT)
+                   AS shuffle_rank
+        FROM documents"""
+
+
 def oracle_sql() -> dict[str, str]:
     # The flagship oracle reads the deterministic /tmp corpus cache and
     # the bigram-model parquet; materialize both here so the SQL is
@@ -2288,4 +2362,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, token_offset,
                    CAST(token_offset // 2048 AS BIGINT) AS seq_id
             FROM s""",
+        # n_copies = floor(w) + (keyed hash < frac(w) threshold); the
+        # hash/threshold integers are IDENTICAL to the Ray kernel's
+        # (sampling.py mixture_resample) -> exact epoch multiset.
+        "mixture_epochs": _mixture_oracle_sql(),
+        # rank over the signed view of the same bijective hash; no
+        # ties possible (odd-multiplier hash permutes Z_2^64).
+        "shuffle_order": _shuffle_oracle_sql(),
     }

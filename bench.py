@@ -28,7 +28,9 @@ BENCH_QUERIES = ["doc_line_stats", "pii_scrub", "lineage_sha256",
                  "token_counts", "q1_pricing", "events_hourly",
                  "knn_cosine", "decontaminate", "top_terms",
                  "docprep", "events_in_window", "bucketed_join_revenue",
-                 "boilerplate_lines", "doc_chunks", "kmeans_embeddings"]
+                 "boilerplate_lines", "doc_chunks", "kmeans_embeddings",
+                 "repetition_stats", "key_deltas", "pack_sequences",
+                 "mixture_epochs", "shuffle_order"]
 
 
 def _consume(obj) -> int:

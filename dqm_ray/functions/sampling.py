@@ -67,6 +67,50 @@ def hash_sample(ds, *, key_col: str, rate: float, seed: int = 0,
     return ds.map_batches(flt, batch_format="pyarrow", num_cpus=1)
 
 
+def mixture_resample(ds, *, key_col: str, stratum_col: str,
+                     weights: dict, default_weight: float = 1.0,
+                     seed: int = 0, epoch_col: str = "epoch"):
+    """Deterministic domain-mixture resampling with epoch upsampling.
+
+    Each row's stratum weight ``w`` yields ``floor(w)`` full copies
+    (``epoch`` 0..floor(w)-1) plus one extra copy iff the row's keyed
+    hash falls under ``frac(w)`` — the standard LLM data-mixing recipe
+    (per-domain epochs a la Pile/LLaMA mixtures) as a pure per-row
+    function of (key, stratum, seed): zero shuffle, reproducible
+    across reruns/resumes, and the expected per-stratum token mass is
+    exactly ``w x`` the input's. ``w = 0`` drops the stratum.
+
+    Scale shape: one vectorized ``map_batches`` (np.repeat + arange
+    epoch fill); output order inside a batch is input order, so the
+    op composes with downstream ``shuffle_order`` for training-order
+    randomization. Reference parity: the reference's per-poll cadence
+    /size pairs (fake_app_confgen.py:171-174) are per-source sampling
+    weights; epoch upsampling is the corpus-scale analog.
+    """
+    off = np.uint64(_offset(seed))
+    full_map = {k: int(np.floor(v)) for k, v in weights.items()}
+    frac_map = {k: rate_threshold(v - np.floor(v))
+                for k, v in weights.items()}
+    d_full = int(np.floor(default_weight))
+    d_frac = rate_threshold(default_weight - np.floor(default_weight))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = keys.astype(np.int64).view(np.uint64) * np.uint64(SAMPLE_A) + off
+        sv = batch.column(stratum_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(sv, return_inverse=True)
+        full = np.array([full_map.get(u, d_full) for u in uniq], np.int64)
+        frac = np.array([frac_map.get(u, d_frac) for u in uniq], np.uint64)
+        n = full[inv] + (h < frac[inv]).astype(np.int64)
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), n)
+        starts = np.cumsum(n) - n
+        epoch = np.arange(int(n.sum()), dtype=np.int64) - starts[idx]
+        out = batch.take(pa.array(idx))
+        return out.append_column(epoch_col, pa.array(epoch, pa.int64()))
+
+    return ds.map_batches(expand, batch_format="pyarrow", num_cpus=1)
+
+
 def sample_sql_hash(key_expr: str, seed: int = 0) -> str:
     """The keyed hash as a DuckDB expression producing the same uint64
     value as the Ray side (32-bit-split mulmod so the HUGEINT product

@@ -46,6 +46,15 @@ def _bin_edges(ds, order_col: str):
     return int(lo), width
 
 
+def _bin_of(k: np.ndarray, lo: int, width: int) -> np.ndarray:
+    """Bin index via modular uint64 subtraction: ``k - lo`` can span
+    the whole int64 domain (e.g. hash keys), so a signed subtraction
+    would overflow; two's-complement uint64 wrap gives the exact
+    difference in [0, 2^64)."""
+    d = k.view(np.uint64) - np.uint64(lo & 0xFFFFFFFFFFFFFFFF)
+    return (d // np.uint64(width)).astype(np.int64)
+
+
 def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
                        out_col: str = "cum_before"):
     """Append ``out_col``: sum of ``value_col`` over rows with smaller
@@ -58,7 +67,7 @@ def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
             .astype(np.int64)
         v = batch.column(value_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        b = (k - lo) // width
+        b = _bin_of(k, lo, width)
         # exact int64 accumulation (bincount weights= would round-trip
         # through float64 and lose >2^53 sums)
         sums = np.zeros(N_BINS, np.int64)
@@ -79,7 +88,7 @@ def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
     def add_bin(batch: pa.Table) -> pa.Table:
         k = batch.column(order_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        b = (k - lo) // width
+        b = _bin_of(k, lo, width)
         return batch.append_column("bin", pa.array(b, pa.int64()))
 
     def scan_bin(df: pd.DataFrame) -> pd.DataFrame:
@@ -92,6 +101,36 @@ def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
 
     return ds.map_batches(add_bin, batch_format="pyarrow") \
         .groupby("bin").map_groups(scan_bin, batch_format="pandas")
+
+
+def shuffle_rank(ds, *, key_col: str = "doc_id", seed: int = 0,
+                 out_col: str = "shuffle_rank"):
+    """Epoch-reproducible global training order WITHOUT
+    ``random_shuffle``: rank rows by a bijective multiplicative hash
+    of ``key_col`` (odd multiplier mod 2^64 permutes Z_2^64, so
+    distinct keys never tie) and assign each row its global 0-based
+    rank via the range-binned prefix scan. Changing ``seed`` yields an
+    independent permutation — per-epoch shuffles are free re-runs, and
+    membership is a pure row function so resume/rerun order is stable
+    (unlike ``ds.random_shuffle``, whose layout depends on task
+    scheduling). Keys must be unique."""
+    from dqm_ray.functions.sampling import SAMPLE_A, _offset
+
+    off = np.uint64(_offset(seed))
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = (k.astype(np.int64).view(np.uint64) * np.uint64(SAMPLE_A)
+             + off).view(np.int64)
+        n = len(batch)
+        return batch.append_column("_sk", pa.array(h, pa.int64())) \
+            .append_column("_one", pa.array(np.ones(n, np.int64)))
+
+    out = ordered_prefix_sum(ds.map_batches(add_key,
+                                            batch_format="pyarrow"),
+                             order_col="_sk", value_col="_one",
+                             out_col=out_col)
+    return out.drop_columns(["_sk", "_one"])
 
 
 def pack_sequences(ds, *, order_col: str = "doc_id",

@@ -56,6 +56,85 @@ def test_prefix_sum_exact_past_float53(ray_session):
     assert (out["cum"].to_numpy() == expect).all()
 
 
+def test_prefix_sum_full_int64_key_span(ray_session):
+    """Keys spanning nearly the whole signed-int64 domain (what hash
+    keys look like): signed ``k - lo`` would overflow; the modular
+    uint64 binning must still order correctly."""
+    import ray.data as rd
+
+    from dqm_ray.functions.scan import ordered_prefix_sum
+
+    rng = np.random.default_rng(9)
+    keys = rng.integers(-(2**63), 2**63 - 1, 2000,
+                        dtype=np.int64)
+    keys = np.unique(keys)
+    vals = rng.integers(0, 100, len(keys)).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    ds = rd.from_pandas(df.sample(frac=1, random_state=0)).repartition(9)
+    out = ordered_prefix_sum(ds, order_col="k", value_col="v",
+                             out_col="cum").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    ref = _naive(df, "k", "v")
+    assert (out["cum"].to_numpy() == ref["cum"].to_numpy()).all()
+
+
+def test_shuffle_rank_is_permutation_and_seed_dependent(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.scan import shuffle_rank
+
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(6)
+    r0 = shuffle_rank(ds, key_col="doc_id", seed=0).to_pandas() \
+        .sort_values("doc_id")["shuffle_rank"].to_numpy()
+    r0b = shuffle_rank(ds, key_col="doc_id", seed=0).to_pandas() \
+        .sort_values("doc_id")["shuffle_rank"].to_numpy()
+    r1 = shuffle_rank(ds, key_col="doc_id", seed=1).to_pandas() \
+        .sort_values("doc_id")["shuffle_rank"].to_numpy()
+    assert sorted(r0) == list(range(1000))      # a true permutation
+    assert (r0 == r0b).all()                    # reproducible
+    assert (r0 != r1).any()                     # seed changes order
+    assert (r0 != np.arange(1000)).sum() > 900  # actually shuffled
+
+
+def test_mixture_resample_epochs(ray_session):
+    """floor(w) full copies + hash-gated fractional copy; w=0 drops,
+    membership is a pure function of (key, stratum, seed)."""
+    import ray.data as rd
+
+    from dqm_ray.functions.sampling import (SAMPLE_A, _offset,
+                                            mixture_resample,
+                                            rate_threshold)
+
+    n = 4000
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "dom": rng.choice(["a", "b", "c", "d"], n),
+    })
+    W = {"a": 2.5, "b": 1.0, "c": 0.0, "d": 0.25}
+    ds = rd.from_pandas(df).repartition(5)
+    out = mixture_resample(ds, key_col="doc_id", stratum_col="dom",
+                           weights=W, seed=7).to_pandas()
+    # naive reference
+    off = np.uint64(_offset(7))
+    h = df["doc_id"].to_numpy().view(np.uint64) * np.uint64(SAMPLE_A) + off
+    import math
+    full = df["dom"].map({k: int(math.floor(v)) for k, v in W.items()})
+    thr = df["dom"].map({k: rate_threshold(v - math.floor(v))
+                         for k, v in W.items()}).to_numpy(dtype=np.uint64)
+    n_copies = full.to_numpy() + (h < thr)
+    assert len(out) == n_copies.sum()
+    got = out.groupby("doc_id").size()
+    for did, expect in zip(df["doc_id"], n_copies):
+        assert got.get(did, 0) == expect
+    # epochs are 0..n-1 per doc
+    mx = out.groupby("doc_id")["epoch"].agg(["min", "max", "count"])
+    assert (mx["min"] == 0).all()
+    assert (mx["max"] == mx["count"] - 1).all()
+    assert (out["dom"] != "c").all()
+
+
 def test_pack_sequences_budget_boundaries(ray_session):
     """seq_id = exclusive token offset // budget; docs laid end to end
     in doc_id order. A doc straddling a boundary belongs to the
