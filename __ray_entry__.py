@@ -572,6 +572,15 @@ def _q_mixture_epochs(sf_dir: str):
     return ds.select_columns(["doc_id", "lang", "epoch"])
 
 
+def _q_tfidf_keywords(sf_dir: str):
+    """Per-doc top-3 TF-IDF keywords: vocabulary-bounded df shuffle +
+    broadcast df table; integer-quantized IDF for exact SQL parity."""
+    from dqm_ray.functions.text import tfidf_keywords
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return tfidf_keywords(ds, k=3)
+
+
 _SHUF_SEED = 3
 
 
@@ -1271,6 +1280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "mixture_epochs": _q_mixture_epochs,
         "shuffle_order": _q_shuffle_order,
+        "tfidf_keywords": _q_tfidf_keywords,
     }
 
 
@@ -2369,4 +2379,26 @@ def oracle_sql() -> dict[str, str]:
         # rank over the signed view of the same bijective hash; no
         # ties possible (odd-multiplier hash permutes Z_2^64).
         "shuffle_order": _shuffle_oracle_sql(),
+        # integer-quantized idf: (2^20*(N+1)) // (df+1) — selection and
+        # scores are pure-integer, bitwise-stable across engines.
+        "tfidf_keywords": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(str_split_regex(lower(text),
+                            '[^a-z]+'), s -> length(s) >= 2)) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS c
+                   FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS dfn
+                   FROM toks GROUP BY 1),
+            nd AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT doc_id, term,
+                     CAST(c * ((1048576 * (n + 1)) // (dfn + 1))
+                          AS BIGINT) AS score
+              FROM tf JOIN df USING (term) CROSS JOIN nd)
+            SELECT doc_id, term, score, CAST(rn AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, term) AS rn
+                  FROM scored) WHERE rn <= 3""",
     }

@@ -230,3 +230,111 @@ def top_terms(ds, *, text_col: str = "text", min_len: int = 2,
             .groupby("term").aggregate(Sum("n", alias_name="n"))
             .sort(["n", "term"], descending=[True, False])
             .limit(k))
+
+
+# integer-quantized IDF: idf_q = (IDF_SCALE*(N+1)) // (df+1). Pure
+# integer arithmetic keeps selection and scores bitwise identical
+# across engines (float ln() would differ in the last ulp between
+# libm builds and make near-equal ranks nondeterministic).
+IDF_SCALE = 1 << 20
+
+
+def _doc_term_pairs(batch: pa.Table, text_col: str, min_len: int):
+    """Tokenize a batch -> (row_index, term_code, dictionary) with all
+    work in Arrow kernels; one row per token occurrence."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column(text_col).combine_chunks()),
+        "[^a-z]+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.greater_equal(pc.utf8_length(flat), min_len)
+    flat = flat.filter(keep)
+    parent = parent[keep.to_numpy(zero_copy_only=False)]
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return parent.astype(np.int64), codes, enc.dictionary
+
+
+def tfidf_keywords(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   k: int = 3, min_len: int = 2):
+    """Per-document top-k TF-IDF keywords.
+
+    Two passes, both vocabulary-bounded on the wire:
+
+    1. document frequency: per batch emit (term, n_docs_containing)
+       partials — distinct (doc, term) pairs via one np.unique over
+       packed codes, so the shuffle moves at most |batch vocab| rows,
+       never tokens — then one groupby-sum; the resulting df table
+       (Heaps'-law sublinear in corpus size) is broadcast once via
+       ray.put as sorted (vocab, df) arrays;
+    2. scoring: per batch compute per-doc term counts (same packed
+       np.unique), look up df by searchsorted into the broadcast
+       vocab, score = count * idf_q (integer-quantized IDF — see
+       IDF_SCALE), and keep each doc's top k by (score DESC, term
+       ASC) with a vectorized lexsort — no per-doc Python.
+
+    At vocabularies too large to broadcast, pass 1's df table can be
+    hash-bucket-joined instead (sources/bucketed.py); the query-scale
+    default broadcasts. Reference parity: ChannelMapFiller's
+    build-once lookup map applied per record
+    (include/dqm/ChannelMapFiller.hpp:38-75).
+    """
+    from ray.data.aggregate import Sum
+
+    from dqm_ray.state.broadcast import Broadcast
+
+    n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        parent, codes, terms = _doc_term_pairs(batch, text_col, min_len)
+        if len(codes) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df_n": pa.array([], pa.int64())})
+        nvocab = len(terms)
+        u = np.unique(parent * nvocab + codes)
+        cnt = np.bincount((u % nvocab).astype(np.int64), minlength=nvocab)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"term": terms.take(pa.array(nz)),
+                         "df_n": pa.array(cnt[nz], pa.int64())})
+
+    df_rows = ds.map_batches(df_partial, batch_format="pyarrow",
+                             num_cpus=1) \
+        .groupby("term").aggregate(Sum("df_n", alias_name="df_n")) \
+        .take_all()
+    vocab = np.sort(np.array([r["term"] for r in df_rows], dtype=object))
+    order = np.argsort(np.array([r["term"] for r in df_rows], dtype=object),
+                       kind="mergesort")
+    dfv = np.array([r["df_n"] for r in df_rows], dtype=np.int64)[order]
+    bc = Broadcast((vocab, dfv))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        parent, codes, terms = _doc_term_pairs(batch, text_col, min_len)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "score": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64())})
+        if len(codes) == 0:
+            return empty
+        nvocab = len(terms)
+        u, c = np.unique(parent * nvocab + codes, return_counts=True)
+        d_idx = u // nvocab
+        t_str = terms.take(pa.array(u % nvocab)) \
+            .to_numpy(zero_copy_only=False)
+        vocab_a, dfv_a = bc.value
+        df = dfv_a[np.searchsorted(vocab_a, t_str)]
+        score = c.astype(np.int64) * ((IDF_SCALE * (n_docs + 1)) // (df + 1))
+        order = np.lexsort((t_str, -score, d_idx))
+        d_s = d_idx[order]
+        starts = np.r_[0, np.nonzero(np.diff(d_s))[0] + 1]
+        seg_len = np.diff(np.r_[starts, len(d_s)])
+        rank = np.arange(len(d_s)) - np.repeat(starts, seg_len)
+        keep = rank < k
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[d_s[keep]], pa.int64()),
+            "term": pa.array(t_str[order][keep], pa.string()),
+            "score": pa.array(score[order][keep], pa.int64()),
+            "rank": pa.array(rank[keep] + 1, pa.int64()),
+        })
+
+    return ds.map_batches(score_batch, batch_format="pyarrow", num_cpus=1)

@@ -1,0 +1,62 @@
+"""tfidf_keywords (dqm_ray/functions/text.py) vs a naive
+Counter-based reference: per-doc top-k by integer-quantized TF-IDF,
+(score DESC, term ASC) tie contract, docs with < k terms or zero
+tokens, and terms spanning batch boundaries."""
+
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dqm_ray.functions.text import IDF_SCALE
+
+
+def _naive(df, k=3, min_len=2):
+    toks = {r.doc_id: [t for t in re.split("[^a-z]+", r.text.lower())
+                       if len(t) >= min_len]
+            for r in df.itertuples()}
+    n = len(df)
+    dfc = Counter()
+    for ts in toks.values():
+        dfc.update(set(ts))
+    rows = []
+    for did, ts in toks.items():
+        tf = Counter(ts)
+        scored = sorted(
+            ((c * ((IDF_SCALE * (n + 1)) // (dfc[t] + 1)), t)
+             for t, c in tf.items()),
+            key=lambda x: (-x[0], x[1]))
+        for rank, (s, t) in enumerate(scored[:k], 1):
+            rows.append((did, t, s, rank))
+    return pd.DataFrame(rows, columns=["doc_id", "term", "score", "rank"])
+
+
+def test_tfidf_matches_naive(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.text import tfidf_keywords
+
+    rng = np.random.default_rng(4)
+    vocab = ["alpha", "beta", "gamma", "delta", "rare", "unique",
+             "the", "of", "x"]
+    texts = []
+    for i in range(300):
+        words = rng.choice(vocab, size=rng.integers(0, 30),
+                           p=[.2, .2, .15, .15, .05, .05, .1, .05, .05])
+        texts.append(" ".join(words))
+    texts[0] = ""                     # zero tokens
+    texts[1] = "solo"                 # single term, < k keywords
+    texts[2] = "Tie tie TIE bye bye BYE"  # equal counts -> term ASC tie
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                       "text": texts})
+    ds = rd.from_pandas(df).repartition(7)
+    out = tfidf_keywords(ds, k=3).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    ref = _naive(df).sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
+    assert 0 not in set(out["doc_id"])          # empty doc emits nothing
+    assert (out[out.doc_id == 1]["term"] == ["solo"]).all()
+    d2 = out[out.doc_id == 2].sort_values("rank")
+    assert d2["term"].tolist() == ["bye", "tie"]  # tie broken ASC
