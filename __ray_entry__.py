@@ -581,6 +581,16 @@ def _q_tfidf_keywords(sf_dir: str):
     return tfidf_keywords(ds, k=3)
 
 
+def _q_dedup_paragraphs(sf_dir: str):
+    """Cross-doc paragraph dedup, first occurrence wins: 24 B/paragraph
+    signature shuffle -> broadcast winner positions -> vectorized
+    clean; content never shuffles."""
+    from dqm_ray.functions.paragraphs import dedup_paragraphs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return dedup_paragraphs(ds)
+
+
 _SHUF_SEED = 3
 
 
@@ -1281,6 +1291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_epochs": _q_mixture_epochs,
         "shuffle_order": _q_shuffle_order,
         "tfidf_keywords": _q_tfidf_keywords,
+        "dedup_paragraphs": _q_dedup_paragraphs,
     }
 
 
@@ -2401,4 +2412,33 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                        ORDER BY score DESC, term) AS rn
                   FROM scored) WHERE rn <= 3""",
+        # winner = min(doc_id * 2^20 + idx) per distinct paragraph text
+        # (same packing as paragraphs.py POS_BITS); empties never
+        # participate; every doc appears, all-dup docs with text ''.
+        "dedup_paragraphs": """
+            WITH base AS (
+              SELECT doc_id, str_split(text, chr(10)||chr(10)) AS paras
+              FROM documents),
+            occ AS (
+              SELECT doc_id, q.para AS para, q.idx AS idx FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(paras) + 1),
+                         i -> struct_pack(para := paras[i],
+                                          idx := i - 1))) AS q
+                FROM base) t),
+            w AS (SELECT para, min(doc_id * 1048576 + idx) AS wpos
+                  FROM occ WHERE length(para) >= 1 GROUP BY para),
+            k AS (SELECT o.doc_id, o.para, o.idx,
+                         (length(o.para) < 1
+                          OR o.doc_id * 1048576 + o.idx = w.wpos) AS keep
+                  FROM occ o LEFT JOIN w ON o.para = w.para)
+            SELECT doc_id,
+                   coalesce(string_agg(para, chr(10)||chr(10)
+                            ORDER BY idx) FILTER (WHERE keep), '')
+                       AS text,
+                   CAST(count(*) FILTER (WHERE keep) AS BIGINT)
+                       AS n_kept,
+                   CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
+                       AS n_dropped
+            FROM k GROUP BY doc_id""",
     }

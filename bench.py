@@ -30,7 +30,8 @@ BENCH_QUERIES = ["doc_line_stats", "pii_scrub", "lineage_sha256",
                  "docprep", "events_in_window", "bucketed_join_revenue",
                  "boilerplate_lines", "doc_chunks", "kmeans_embeddings",
                  "repetition_stats", "key_deltas", "pack_sequences",
-                 "mixture_epochs", "shuffle_order", "tfidf_keywords"]
+                 "mixture_epochs", "shuffle_order", "tfidf_keywords",
+                 "dedup_paragraphs"]
 
 
 def _consume(obj) -> int:

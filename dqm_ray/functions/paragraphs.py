@@ -1,0 +1,134 @@
+"""Cross-document paragraph-level deduplication (first-occurrence
+wins) — the paragraph analog of exact document dedup, standard in web
+corpus prep (C4 keeps one copy of every three-sentence span; here the
+unit is the ``sep``-delimited paragraph).
+
+Semantics: paragraphs are ``text.split(sep)`` in order; an occurrence
+is REMOVED iff an identical paragraph occurred at a smaller global
+``(doc_id, para_idx)`` position. Paragraphs shorter than
+``min_dedup_chars`` (default 1 — empties) never participate. Cleaned
+text re-joins kept paragraphs with ``sep``; every input doc appears in
+the output (possibly with empty text).
+
+Scale shape — content never enters a shuffle:
+
+1. signature pass: per batch, split + two independent 64-bit hashes
+   per paragraph (128-bit combined — collision odds ~2^-128 per pair,
+   documented trade for keeping text out of the shuffle) + packed
+   position ``doc_id * 2^20 + para_idx``; the shuffle moves only
+   (h1, h2, packed) = 24 B/paragraph;
+2. winners: ``groupby([h1, h2]).min(packed)`` — one row per DISTINCT
+   paragraph; winner positions are broadcast once (``ray.put``) as a
+   sorted int64 array;
+3. clean pass: re-split each doc, keep paragraphs whose packed
+   position is in the winner set (vectorized searchsorted) or below
+   the length floor; no re-hash needed — membership is by position.
+
+The broadcast bounds this at ~10^9 distinct paragraphs (8 GB shared
+per node via the object store). Beyond that, partition the corpus
+into doc_id ranges and run per range with the winner table written
+bucketed by ``bucket_of(doc_id)`` (sources/bucketed.py) and joined
+per bucket instead of broadcast — same winner semantics, since packed
+positions are globally ordered. Reference parity: remove_empty +
+first-wins stream semantics (python/dqm/dqm_utils.py remove_empty;
+exact-dedup contract in functions/dedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+POS_BITS = 20  # max 2^20 paragraphs per doc (packed-position radix)
+_H1_KEY = "0123456789abcdef"
+_H2_KEY = "fedcba9876543210"
+
+
+def _split_paragraphs(batch: pa.Table, text_col: str, sep: str):
+    """(row_index, flat_paragraph_strings, para_idx_within_doc)."""
+    parts = pc.split_pattern(batch.column(text_col).combine_chunks(), sep)
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    starts = np.r_[0, np.nonzero(np.diff(parent))[0] + 1]
+    seg_len = np.diff(np.r_[starts, len(parent)])
+    idx = np.arange(len(parent), dtype=np.int64) \
+        - np.repeat(starts, seg_len) if len(parent) else parent
+    return parent, flat, idx
+
+
+def _packed(doc_ids: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    return (doc_ids << POS_BITS) + idx
+
+
+def dedup_paragraphs(ds, *, text_col: str = "text",
+                     id_col: str = "doc_id", sep: str = "\n\n",
+                     min_dedup_chars: int = 1):
+    """Remove globally-duplicate paragraphs, first occurrence wins.
+
+    Returns a Dataset with (id_col, text, n_kept, n_dropped)."""
+    from ray.data.aggregate import Min
+
+    from dqm_ray.state.broadcast import Broadcast
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        parent, flat, idx = _split_paragraphs(batch, text_col, sep)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sel = lens >= min_dedup_chars
+        flat_np = flat.to_numpy(zero_copy_only=False)[sel]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[parent[sel]]
+        h1 = pd.util.hash_array(flat_np, hash_key=_H1_KEY,
+                                categorize=False).view(np.int64)
+        h2 = pd.util.hash_array(flat_np, hash_key=_H2_KEY,
+                                categorize=False).view(np.int64)
+        return pa.table({"h1": pa.array(h1, pa.int64()),
+                         "h2": pa.array(h2, pa.int64()),
+                         "packed": pa.array(_packed(ids, idx[sel]),
+                                            pa.int64())})
+
+    winners = ds.map_batches(signatures, batch_format="pyarrow",
+                             num_cpus=1) \
+        .groupby(["h1", "h2"]) \
+        .aggregate(Min("packed", alias_name="packed")) \
+        .select_columns(["packed"])
+    wpos = np.sort(np.concatenate(
+        [b.column("packed").to_numpy(zero_copy_only=False)
+         for b in winners.iter_batches(batch_size=1 << 16,
+                                       batch_format="pyarrow")]
+        or [np.empty(0, np.int64)]))
+    bc = Broadcast(wpos)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        parent, flat, idx = _split_paragraphs(batch, text_col, sep)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = bc.value
+        n = len(batch)
+        if len(parent):
+            lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+            p = _packed(ids[parent], idx)
+            pos = np.searchsorted(w, p)
+            is_winner = (pos < len(w)) & (w[np.minimum(pos, len(w) - 1)]
+                                          == p)
+            keep = (lens < min_dedup_chars) | is_winner
+        else:
+            keep = np.empty(0, bool)
+        # rebuild a ListArray of kept paragraphs per row, then one
+        # Arrow binary_join — no per-row Python
+        kept_counts = np.bincount(parent[keep], minlength=n)
+        all_counts = np.bincount(parent, minlength=n)
+        offsets = np.r_[0, np.cumsum(kept_counts)].astype(np.int32)
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            flat.filter(pa.array(keep)))
+        texts = pc.binary_join(kept_lists, sep)
+        return pa.table({id_col: batch.column(id_col),
+                         "text": texts,
+                         "n_kept": pa.array(kept_counts, pa.int64()),
+                         "n_dropped": pa.array(all_counts - kept_counts,
+                                               pa.int64())})
+
+    return ds.map_batches(clean, batch_format="pyarrow", num_cpus=1)

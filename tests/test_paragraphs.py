@@ -1,0 +1,67 @@
+"""dedup_paragraphs (dqm_ray/functions/paragraphs.py) vs a naive
+sequential seen-set reference: first-occurrence-wins cross-doc
+paragraph dedup, empty paragraphs never participating, every doc
+present in the output (all-dup docs with empty text)."""
+
+import numpy as np
+import pandas as pd
+
+
+def _naive(df, sep="\n\n"):
+    seen = set()
+    rows = []
+    for did, t in zip(df["doc_id"], df["text"]):
+        kept, nd = [], 0
+        for p in t.split(sep):
+            if len(p) < 1:
+                kept.append(p)
+                continue
+            if p in seen:
+                nd += 1
+            else:
+                seen.add(p)
+                kept.append(p)
+        rows.append((did, sep.join(kept), len(kept), nd))
+    return pd.DataFrame(rows,
+                        columns=["doc_id", "text", "n_kept", "n_dropped"])
+
+
+def test_dedup_paragraphs_edges(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.paragraphs import dedup_paragraphs
+
+    docs = [
+        "hello world\n\nfoo bar\n\nhello world",  # intra-doc dup
+        "unique one\n\nfoo bar",                   # cross-doc dup
+        "",                                        # empty doc
+        "foo bar",                                 # fully deduped away
+        "a\n\n\n\nb\n\na",                         # empties always kept
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    out = dedup_paragraphs(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, _naive(df))
+
+
+def test_dedup_paragraphs_random_corpus(ray_session):
+    """Template-heavy random corpus across many blocks: winner choice
+    must follow global (doc_id, idx) order, not block order."""
+    import ray.data as rd
+
+    from dqm_ray.functions.paragraphs import dedup_paragraphs
+
+    rng = np.random.default_rng(12)
+    pool = [f"paragraph number {i} with body text" for i in range(40)]
+    docs = ["\n\n".join(rng.choice(pool, size=rng.integers(1, 8)))
+            for _ in range(400)]
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64),
+                       "text": docs})
+    out = dedup_paragraphs(rd.from_pandas(df).repartition(11)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ref = _naive(df)
+    pd.testing.assert_frame_equal(out, ref)
+    # every distinct paragraph survives exactly once corpus-wide
+    kept_paras = [p for t in out["text"] for p in t.split("\n\n") if p]
+    assert sorted(set(kept_paras)) == sorted(kept_paras)
