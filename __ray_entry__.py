@@ -591,6 +591,15 @@ def _q_dedup_paragraphs(sf_dir: str):
     return dedup_paragraphs(ds)
 
 
+def _q_normalize_text(sf_dir: str):
+    """Unicode canonicalization (NFC + control strip + blank collapse
+    + edge trim): pure Arrow kernels, zero shuffle."""
+    from dqm_ray.functions.text import normalize_text_batch
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(normalize_text_batch, batch_format="pyarrow")
+
+
 _SHUF_SEED = 3
 
 
@@ -1292,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_order": _q_shuffle_order,
         "tfidf_keywords": _q_tfidf_keywords,
         "dedup_paragraphs": _q_dedup_paragraphs,
+        "normalize_text": _q_normalize_text,
     }
 
 
@@ -2049,6 +2059,16 @@ def _shuffle_oracle_sql() -> str:
         FROM documents"""
 
 
+def _normalize_oracle_sql() -> str:
+    from dqm_ray.functions.text import normalize_sql_expr
+
+    e = normalize_sql_expr("text")
+    return f"""
+        SELECT doc_id, {e} AS text,
+               CAST(length({e}) AS BIGINT) AS n_chars_norm
+        FROM documents"""
+
+
 def oracle_sql() -> dict[str, str]:
     # The flagship oracle reads the deterministic /tmp corpus cache and
     # the bigram-model parquet; materialize both here so the SQL is
@@ -2441,4 +2461,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
                        AS n_dropped
             FROM k GROUP BY doc_id""",
+        # same NFC + RE2 step list (text.py NORM_STEPS), same order.
+        "normalize_text": _normalize_oracle_sql(),
     }

@@ -338,3 +338,60 @@ def tfidf_keywords(ds, *, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(score_batch, batch_format="pyarrow", num_cpus=1)
+
+
+# Unicode normalization pipeline — ONE pattern list shared (textually)
+# by the Arrow kernel and the DuckDB oracle; both engines run RE2, so
+# the raw pattern strings mean the same thing in each.
+NORM_STEPS: tuple[tuple[str, str], ...] = (
+    (r"\r\n?", "\n"),                              # CRLF/CR -> LF
+    (r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""),     # strip controls
+    (r"[ \t\x{00A0}]+", " "),                      # collapse blanks+NBSP
+)
+NORM_TRIM = " \n"
+
+
+def normalize_text_batch(batch: pa.Table, *,
+                         text_col: str = "text") -> pa.Table:
+    """NFC-normalize + control-strip + blank-collapse + edge-trim.
+
+    Standard corpus canonicalization before hashing/dedup (equivalent
+    byte sequences must hash equal). All steps are Arrow compute
+    kernels (utf8_normalize + RE2 replaces) — zero Python per row;
+    embarrassingly parallel, no shuffle. Reference parity: the decode/
+    admission normalization stage (stages/normalize.py admission
+    contract over python/dqm/dqm_collector.py framing).
+    """
+    s = batch.column(text_col).combine_chunks()
+    # NFC: pyarrow's utf8_normalize does not COMPOSE (verified on
+    # 16.1 — NFC output keeps combining marks), so compose via
+    # unicodedata — but only for the non-ASCII minority (ASCII is
+    # NFC-invariant), gated by a vectorized string_is_ascii scan.
+    non_ascii = pc.invert(pc.string_is_ascii(s)).to_numpy(
+        zero_copy_only=False)
+    if non_ascii.any():
+        import unicodedata
+
+        vals = s.to_numpy(zero_copy_only=False)
+        idx = np.nonzero(non_ascii)[0]
+        fixed = vals.copy()
+        for i in idx:
+            fixed[i] = unicodedata.normalize("NFC", vals[i])
+        s = pa.array(fixed, pa.string())
+    for pat, rep in NORM_STEPS:
+        s = pc.replace_substring_regex(s, pat, rep)
+    s = pc.utf8_trim(s, NORM_TRIM)
+    out = batch.set_column(batch.schema.get_field_index(text_col),
+                           text_col, s)
+    return out.append_column("n_chars_norm",
+                             pc.cast(pc.utf8_length(s), pa.int64()))
+
+
+def normalize_sql_expr(col: str = "text") -> str:
+    """The identical normalization as a DuckDB expression (nfc_normalize
+    + the same RE2 patterns in the same order)."""
+    e = f"nfc_normalize({col})"
+    for pat, rep in NORM_STEPS:
+        p = pat.replace("'", "''")
+        e = f"regexp_replace({e}, '{p}', '{rep}', 'g')"
+    return f"trim({e}, ' ' || chr(10))"

@@ -60,3 +60,39 @@ def test_tfidf_matches_naive(ray_session):
     assert (out[out.doc_id == 1]["term"] == ["solo"]).all()
     d2 = out[out.doc_id == 2].sort_values("rank")
     assert d2["term"].tolist() == ["bye", "tie"]  # tie broken ASC
+
+
+def test_normalize_text_parity_adversarial(ray_session):
+    """Ray kernel vs DuckDB expression on decomposed NFD forms, NBSP,
+    controls, CRLF/CR, tabs, and edge whitespace."""
+    import duckdb
+    import ray.data as rd
+
+    from dqm_ray.functions.text import (normalize_sql_expr,
+                                        normalize_text_batch)
+
+    texts = [
+        "Café du monde",            # NFD e + combining acute
+        "a\r\nb\rc\nd",                   # CRLF / CR / LF mix
+        "x\x00y\x07z\x7f!",               # controls incl. DEL
+        "nb sp   and\t\ttabs",       # NBSP + runs of blanks
+        "  \n padded \n  ",               # edge trim
+        "",                               # empty
+        "Å vs Å",               # angstrom sign vs A-ring (NFC)
+    ]
+    import numpy as np
+    import pandas as pd
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = rd.from_pandas(df).map_batches(
+        normalize_text_batch, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    e = normalize_sql_expr("text")
+    ref = con.sql(f"SELECT doc_id, {e} AS text, CAST(length({e}) AS "
+                  "BIGINT) AS n_chars_norm FROM documents "
+                  "ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(out, ref)
+    assert out.loc[0, "text"] == "Café du monde"
+    assert out.loc[2, "text"] == "xyz!"
