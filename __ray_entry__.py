@@ -600,6 +600,17 @@ def _q_normalize_text(sf_dir: str):
     return ds.map_batches(normalize_text_batch, batch_format="pyarrow")
 
 
+def _q_sketch_quantiles(sf_dir: str):
+    """Per-lang doc-length quantiles via the mergeable log-histogram
+    sketch: bounded 64*S counters per group, bitwise-deterministic
+    (unlike sampling sketches) and hence SQL-oracled."""
+    from dqm_ray.functions.sketch import grouped_quantile_sketch
+
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
+    return grouped_quantile_sketch(ds, group_col="lang",
+                                   value_col="n_chars")
+
+
 _SHUF_SEED = 3
 
 
@@ -1302,6 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "dedup_paragraphs": _q_dedup_paragraphs,
         "normalize_text": _q_normalize_text,
+        "sketch_quantiles": _q_sketch_quantiles,
     }
 
 
@@ -2069,6 +2081,13 @@ def _normalize_oracle_sql() -> str:
         FROM documents"""
 
 
+def _sketch_oracle_sql() -> str:
+    from dqm_ray.functions.sketch import sketch_sql
+
+    return sketch_sql("documents", group_col="lang",
+                      value_col="n_chars")
+
+
 def oracle_sql() -> dict[str, str]:
     # The flagship oracle reads the deterministic /tmp corpus cache and
     # the bigram-model parquet; materialize both here so the SQL is
@@ -2463,4 +2482,8 @@ def oracle_sql() -> dict[str, str]:
             FROM k GROUP BY doc_id""",
         # same NFC + RE2 step list (text.py NORM_STEPS), same order.
         "normalize_text": _normalize_oracle_sql(),
+        # identical integer log-bucket math + ceil threshold in ints
+        # (functions/sketch.py sketch_sql builds it from the kernel's
+        # own constants).
+        "sketch_quantiles": _sketch_oracle_sql(),
     }

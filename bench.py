@@ -115,7 +115,7 @@ def run_bench() -> dict:
     # high core counts; the best run is the least-contended measurement).
     flagship_once()
     n_reps = int(os.environ.get("GRAFT_BENCH_REPS",
-                                "2" if SCALE_ROWS else "3"))
+                                "2" if SCALE_ROWS else "4"))
     reps = []
     for _ in range(n_reps):
         t0 = time.perf_counter()

@@ -1,0 +1,78 @@
+"""Log-histogram quantile sketch (dqm_ray/functions/sketch.py):
+bucket math vs brute force, the (1 + 1/S) relative error bound vs
+true discrete quantiles, merge invariance across block layouts, and
+bitwise DuckDB parity of the SQL builder."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dqm_ray.functions.sketch import (DEFAULT_S, bucket_lower_edge,
+                                      bucket_of, bucket_upper_edge,
+                                      sketch_sql)
+
+
+def test_bucket_edges_are_consistent():
+    v = np.arange(1, 100000, dtype=np.int64)
+    b = bucket_of(v)
+    lo = bucket_lower_edge(b)
+    hi = bucket_upper_edge(b)
+    assert (lo <= v).all() and (v < hi).all()
+    assert (np.diff(b) >= 0).all()          # monotone in v
+    # relative bucket width bound
+    assert (hi - lo <= lo // DEFAULT_S + 1).all()
+
+
+def _true_quantile(vals, pct):
+    vals = np.sort(vals)
+    return vals[int(np.ceil(pct / 100 * len(vals))) - 1]
+
+
+def test_sketch_error_bound_and_merge_invariance(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.sketch import grouped_quantile_sketch
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 30000),
+        "v": np.exp(rng.normal(5, 2, 30000)).astype(np.int64) + 1,
+    })
+    outs = []
+    for nparts in (3, 17):
+        out = grouped_quantile_sketch(
+            rd.from_pandas(df).repartition(nparts),
+            group_col="g", value_col="v").to_pandas() \
+            .sort_values("g").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # merge-invariant
+    for g, sub in df.groupby("g"):
+        row = outs[0][outs[0].g == g].iloc[0]
+        for pct in (50, 90, 99):
+            tq = _true_quantile(sub["v"].to_numpy(), pct)
+            est = row[f"p{pct}"]
+            assert est <= tq
+            assert tq <= est + est // DEFAULT_S + 1  # <= one bucket up
+
+
+def test_sketch_sql_parity(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from dqm_ray.functions.sketch import grouped_quantile_sketch
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y"], 5000),
+        "v": np.r_[rng.integers(1, 10, 2500),
+                   rng.integers(1, 10**9, 2500)].astype(np.int64),
+    })
+    df.loc[:10, "v"] = 0          # excluded from the log domain
+    out = grouped_quantile_sketch(rd.from_pandas(df).repartition(5),
+                                  group_col="g", value_col="v") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = con.sql(sketch_sql("t", group_col="g", value_col="v")) \
+        .df().sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
