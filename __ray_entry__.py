@@ -15,6 +15,7 @@ Ray is initialised by the caller; nothing here calls ray.init/shutdown.
 from __future__ import annotations
 
 import functools
+import hashlib
 import os
 import sys
 from collections.abc import Callable
@@ -609,6 +610,31 @@ def _q_sketch_quantiles(sf_dir: str):
     ds = _docs(sf_dir, columns=["lang", "n_chars"])
     return grouped_quantile_sketch(ds, group_col="lang",
                                    value_col="n_chars")
+
+
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental ingest dedup: evens = prior corpus -> persisted
+    bucketed signature index; odds = new crawl deduped against it
+    (absent from index AND first occurrence within the ingest)."""
+    import pyarrow.compute as pc
+
+    from dqm_ray.functions.incremental import (build_dedup_index,
+                                               incremental_dedup)
+
+    base = os.path.join(_CACHE, "incdx_" +
+                        hashlib.sha256(sf_dir.encode()).hexdigest()[:12])
+
+    def parity(ds, rem):
+        return ds.map_batches(
+            lambda b, r=rem: b.filter(pc.equal(
+                pc.bit_wise_and(b.column("doc_id"), 1), r)),
+            batch_format="pyarrow")
+
+    prior = parity(_docs(sf_dir, columns=["doc_id", "text"]), 0)
+    build_dedup_index(prior, base)
+    new = parity(_docs(sf_dir, columns=["doc_id", "text", "n_chars"]), 1)
+    out = incremental_dedup(new, base)
+    return out.select_columns(["doc_id", "n_chars"])
 
 
 _SHUF_SEED = 3
@@ -1314,6 +1340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_paragraphs": _q_dedup_paragraphs,
         "normalize_text": _q_normalize_text,
         "sketch_quantiles": _q_sketch_quantiles,
+        "incremental_dedup": _q_incremental_dedup,
     }
 
 
@@ -2486,4 +2513,15 @@ def oracle_sql() -> dict[str, str]:
         # (functions/sketch.py sketch_sql builds it from the kernel's
         # own constants).
         "sketch_quantiles": _sketch_oracle_sql(),
+        # prior corpus = even doc_ids, ingest = odds; keep = not in
+        # prior (by text) and first occurrence within the ingest.
+        "incremental_dedup": """
+            SELECT d.doc_id, d.n_chars FROM documents d
+            WHERE d.doc_id % 2 = 1
+              AND NOT EXISTS (SELECT 1 FROM documents p
+                              WHERE p.doc_id % 2 = 0
+                                AND p.text = d.text)
+              AND d.doc_id = (SELECT min(x.doc_id) FROM documents x
+                              WHERE x.doc_id % 2 = 1
+                                AND x.text = d.text)""",
     }

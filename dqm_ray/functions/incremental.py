@@ -1,0 +1,152 @@
+"""Incremental exact dedup against a PERSISTED corpus index.
+
+Production corpora grow by crawls/snapshots: each ingest must drop
+documents already present in everything ingested before, without
+re-reading the old corpus. The index is the prior corpus reduced to
+128-bit content signatures (two independent 64-bit hashes — same
+trade as functions/paragraphs.py: collision odds ~2^-128, and text
+never leaves its task), hive-bucketed by signature so an ingest
+touches each bucket pair exactly once.
+
+Scale shape:
+
+* ``build_dedup_index``: one content pass; writes (h1, h2) bucketed
+  by ``bucket_of(h1)`` (sources/bucketed.py — the shared layout hash)
+  with an atomic tmp+rename publish; 16 B/doc on disk.
+* ``incremental_dedup``: one content pass writes the NEW side's
+  (h1, h2, id) signatures into the same bucket layout (24 B/doc, no
+  content); then ONE TASK PER BUCKET reads both sides' bucket
+  directories and computes survivors = first-occurrence-per-signature
+  within new, minus signatures present in the index (vectorized
+  pandas drop_duplicates + indicator merge — no per-group Python);
+  surviving ids are broadcast sorted (8 B/doc kept) and the content
+  stream is filtered by searchsorted membership. Content never enters
+  a shuffle; the only all-to-all is the 24 B/doc signature write.
+
+Growing the index after an accepted ingest = appending the new
+bucket files to the index layout (same bucket function, so buckets
+stay aligned). Reference parity: manifest-resume semantics
+(pipelines/checkpoint.py) applied across corpus generations rather
+than within one run.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dqm_ray.sources.bucketed import bucket_of
+
+_H1_KEY = "16fe5057a823cd4c"
+_H2_KEY = "c4d23a1807fe65b9"
+
+
+def text_hash128(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    h1 = pd.util.hash_array(texts, hash_key=_H1_KEY,
+                            categorize=False).view(np.int64)
+    h2 = pd.util.hash_array(texts, hash_key=_H2_KEY,
+                            categorize=False).view(np.int64)
+    return h1, h2
+
+
+def _signatures(batch: pa.Table, text_col: str, id_col: str | None,
+                num_buckets: int) -> pa.Table:
+    texts = batch.column(text_col).to_numpy(zero_copy_only=False)
+    h1, h2 = text_hash128(texts)
+    cols = {"h1": pa.array(h1, pa.int64()),
+            "h2": pa.array(h2, pa.int64()),
+            "bucket": pa.array(bucket_of(h1, num_buckets), pa.int32())}
+    if id_col is not None:
+        cols[id_col] = batch.column(id_col)
+    return pa.table(cols)
+
+
+def build_dedup_index(ds, index_dir: str, *, text_col: str = "text",
+                      num_buckets: int = 32) -> str:
+    """One content pass -> bucketed signature index; atomic publish."""
+    tmp = index_dir + f".tmp{os.getpid()}"
+
+    def sig(batch: pa.Table) -> pa.Table:
+        return _signatures(batch, text_col, None, num_buckets)
+
+    ds.map_batches(sig, batch_format="pyarrow", num_cpus=1) \
+        .write_parquet(tmp, partition_cols=["bucket"])
+    # publish: swap the old generation aside, rename in, then delete
+    # (os.replace cannot overwrite a non-empty directory)
+    old = index_dir + f".old{os.getpid()}"
+    if os.path.isdir(index_dir):
+        os.replace(index_dir, old)
+    os.replace(tmp, index_dir)
+    if os.path.isdir(old):
+        import shutil
+
+        shutil.rmtree(old)
+    return index_dir
+
+
+def incremental_dedup(ds, index_dir: str, *, text_col: str = "text",
+                      id_col: str = "doc_id", num_buckets: int = 32,
+                      workdir: str | None = None):
+    """Keep rows of ``ds`` whose text is (a) absent from the index and
+    (b) the first occurrence (min id) within ``ds``. Returns the
+    filtered Dataset (all input columns)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from dqm_ray.state.broadcast import Broadcast
+
+    workdir = workdir or (index_dir.rstrip("/") + "_ingest")
+    tmp = workdir + f".tmp{os.getpid()}"
+
+    def sig(batch: pa.Table) -> pa.Table:
+        return _signatures(batch, text_col, id_col, num_buckets)
+
+    ds.map_batches(sig, batch_format="pyarrow", num_cpus=1) \
+        .write_parquet(tmp, partition_cols=["bucket"])
+    if os.path.isdir(workdir):
+        import shutil
+
+        shutil.rmtree(workdir)
+    os.replace(tmp, workdir)
+
+    def survivors_one(batch: pa.Table) -> pa.Table:
+        out = []
+        for i in batch.column("id").to_pylist():
+            nb = os.path.join(workdir, f"bucket={i}")
+            if not os.path.isdir(nb):
+                continue
+            new = pads.dataset(nb).to_table().to_pandas()
+            new = new.sort_values(id_col).drop_duplicates(["h1", "h2"],
+                                                          keep="first")
+            ib = os.path.join(index_dir, f"bucket={i}")
+            if os.path.isdir(ib):
+                idx = pads.dataset(ib).to_table().to_pandas() \
+                    .drop_duplicates(["h1", "h2"])
+                m = new.merge(idx[["h1", "h2"]], on=["h1", "h2"],
+                              how="left", indicator=True)
+                new = m[m["_merge"] == "left_only"]
+            out.append(new[id_col].to_numpy().astype(np.int64))
+        ids = (np.concatenate(out) if out else np.empty(0, np.int64))
+        return pa.table({id_col: pa.array(ids, pa.int64())})
+
+    kept = np.sort(np.concatenate(
+        [b.column(id_col).to_numpy(zero_copy_only=False)
+         for b in rd.range(num_buckets)
+         .map_batches(survivors_one, batch_format="pyarrow",
+                      batch_size=1, num_cpus=1)
+         .iter_batches(batch_size=1 << 16, batch_format="pyarrow")]
+        or [np.empty(0, np.int64)]))
+    bc = Broadcast(kept)
+
+    def keep_fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = bc.value
+        pos = np.searchsorted(w, ids)
+        mask = (pos < len(w)) & (w[np.minimum(pos, len(w) - 1)] == ids)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep_fn, batch_format="pyarrow", num_cpus=1)
