@@ -612,6 +612,17 @@ def _q_sketch_quantiles(sf_dir: str):
                                    value_col="n_chars")
 
 
+def _q_corpus_prep(sf_dir: str):
+    """The composed end-to-end LLM corpus-prep chain (see
+    pipelines/corpus_prep.py) — normalize, paragraph dedup, token
+    gate, exact dedup, mixture epochs, sequence packing — oracled as
+    ONE SQL program."""
+    from dqm_ray.pipelines.corpus_prep import corpus_prep
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "text"])
+    return corpus_prep(ds, weights=_MIX_WEIGHTS, mix_seed=_MIX_SEED)
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Incremental ingest dedup: evens = prior corpus -> persisted
     bucketed signature index; odds = new crawl deduped against it
@@ -1341,6 +1352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "sketch_quantiles": _q_sketch_quantiles,
         "incremental_dedup": _q_incremental_dedup,
+        "corpus_prep": _q_corpus_prep,
     }
 
 
@@ -2057,10 +2069,10 @@ def _kmeans_oracle_sql() -> str:
         FROM a3, unnest(range(1, 65)) t(j) GROUP BY cl, j"""
 
 
-def _mixture_oracle_sql() -> str:
-    """Rebuild mixture_resample's copy count in SQL from the same
-    weight dict + hash constants (sampling.py), so the two sides
-    cannot drift."""
+def _mixture_case_exprs() -> tuple[str, str, str]:
+    """(floor-weight CASE, fractional-threshold CASE, hash expr) built
+    from the same weight dict + hash constants (sampling.py), so SQL
+    and Ray cannot drift."""
     import numpy as np
 
     from dqm_ray.functions.sampling import rate_threshold, sample_sql_hash
@@ -2071,7 +2083,11 @@ def _mixture_oracle_sql() -> str:
     thr_case = ("CASE lang " + " ".join(
         f"WHEN '{k}' THEN CAST({rate_threshold(v - np.floor(v))} AS HUGEINT)"
         for k, v in _MIX_WEIGHTS.items()) + " ELSE CAST(0 AS HUGEINT) END")
-    h = sample_sql_hash("doc_id", seed=_MIX_SEED)
+    return full_case, thr_case, sample_sql_hash("doc_id", seed=_MIX_SEED)
+
+
+def _mixture_oracle_sql() -> str:
+    full_case, thr_case, h = _mixture_case_exprs()
     return f"""
         WITH n AS (
           SELECT doc_id, lang,
@@ -2096,6 +2112,65 @@ def _shuffle_oracle_sql() -> str:
                CAST(row_number() OVER (ORDER BY {signed}) - 1 AS BIGINT)
                    AS shuffle_rank
         FROM documents"""
+
+
+def _corpus_prep_oracle_sql() -> str:
+    """The WHOLE corpus-prep chain as one SQL program: normalize ->
+    paragraph dedup -> token gate -> exact dedup -> mixture epochs ->
+    sequence packing. Each CTE mirrors the same stage's Ray kernel
+    constants (POS_BITS packing, TOKEN_RE, mixture cases, EPOCH_RADIX
+    key, 2048 budget)."""
+    from dqm_ray.functions.text import normalize_sql_expr
+
+    norm = normalize_sql_expr("text")
+    full_case, thr_case, h = _mixture_case_exprs()
+    return f"""
+        WITH norm AS (SELECT doc_id, lang, {norm} AS text
+                      FROM documents),
+        base AS (SELECT doc_id, str_split(text, chr(10)||chr(10))
+                            AS paras FROM norm),
+        occ AS (SELECT doc_id, q.para AS para, q.idx AS idx FROM (
+                  SELECT doc_id,
+                         unnest(list_transform(range(1, len(paras) + 1),
+                           i -> struct_pack(para := paras[i],
+                                            idx := i - 1))) AS q
+                  FROM base) t),
+        w AS (SELECT para, min(doc_id * 1048576 + idx) AS wpos
+              FROM occ WHERE length(para) >= 1 GROUP BY para),
+        k AS (SELECT o.doc_id, o.para, o.idx,
+                     (length(o.para) < 1
+                      OR o.doc_id * 1048576 + o.idx = w.wpos) AS keep
+              FROM occ o LEFT JOIN w ON o.para = w.para),
+        clean AS (SELECT doc_id,
+                         coalesce(string_agg(para, chr(10)||chr(10)
+                                  ORDER BY idx) FILTER (WHERE keep), '')
+                             AS text
+                  FROM k GROUP BY doc_id),
+        tok AS (SELECT c.doc_id, n.lang, c.text,
+                       CAST(len(regexp_extract_all(c.text,
+                            '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens
+                FROM clean c JOIN norm n USING (doc_id)),
+        gated AS (SELECT * FROM tok WHERE n_tokens >= 5),
+        ded AS (SELECT * FROM gated
+                WHERE doc_id IN (SELECT min(doc_id) FROM gated
+                                 GROUP BY text)),
+        m AS (SELECT doc_id, lang, n_tokens,
+                     CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
+              FROM (SELECT doc_id, lang, n_tokens,
+                           {full_case}
+                           + CASE WHEN {h} < {thr_case}
+                                  THEN 1 ELSE 0 END AS n_copies
+                    FROM ded) t),
+        s AS (SELECT *, doc_id * 8 + epoch AS pk FROM m),
+        p AS (SELECT doc_id, lang, epoch, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY pk
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT)
+                         AS token_offset
+              FROM s)
+        SELECT doc_id, lang, epoch, n_tokens, token_offset,
+               CAST(token_offset // 2048 AS BIGINT) AS seq_id
+        FROM p"""
 
 
 def _normalize_oracle_sql() -> str:
@@ -2524,4 +2599,5 @@ def oracle_sql() -> dict[str, str]:
               AND d.doc_id = (SELECT min(x.doc_id) FROM documents x
                               WHERE x.doc_id % 2 = 1
                                 AND x.text = d.text)""",
+        "corpus_prep": _corpus_prep_oracle_sql(),
     }

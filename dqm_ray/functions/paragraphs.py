@@ -125,10 +125,13 @@ def dedup_paragraphs(ds, *, text_col: str = "text",
             pa.array(offsets, pa.int32()),
             flat.filter(pa.array(keep)))
         texts = pc.binary_join(kept_lists, sep)
-        return pa.table({id_col: batch.column(id_col),
-                         "text": texts,
-                         "n_kept": pa.array(kept_counts, pa.int64()),
-                         "n_dropped": pa.array(all_counts - kept_counts,
-                                               pa.int64())})
+        # preserve every input column (text replaced in place) so the
+        # op composes inside larger pipelines
+        out = batch.set_column(batch.schema.get_field_index(text_col),
+                               text_col, texts)
+        return out.append_column(
+            "n_kept", pa.array(kept_counts, pa.int64())) \
+            .append_column("n_dropped",
+                           pa.array(all_counts - kept_counts, pa.int64()))
 
     return ds.map_batches(clean, batch_format="pyarrow", num_cpus=1)

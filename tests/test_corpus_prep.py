@@ -1,0 +1,112 @@
+"""Composed corpus-prep pipeline (dqm_ray/pipelines/corpus_prep.py)
+on an adversarial corpus where EVERY stage drops or transforms rows:
+NFD text that must normalize before hashing, cross-doc boilerplate
+paragraphs, sub-threshold docs, exact duplicates (only detectable
+after cleaning), mixture weights incl. a dropped stratum, and packing
+across the epoch-expanded stream. Verified against an independent
+sequential reference."""
+
+import math
+
+import numpy as np
+import pandas as pd
+
+W = {"en": 2.5, "de": 1.0, "zh": 0.0}
+SEED = 7
+BUDGET = 64
+
+
+def _naive(df):
+    import unicodedata
+
+    from dqm_ray.functions.sampling import (SAMPLE_A, _offset,
+                                            rate_threshold)
+    from dqm_ray.functions.text import TOKEN_RE
+    import re
+
+    # normalize (same steps)
+    def norm(t):
+        t = unicodedata.normalize("NFC", t)
+        t = re.sub(r"\r\n?", "\n", t)
+        t = re.sub(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "", t)
+        t = re.sub("[ \t ]+", " ", t)
+        return t.strip(" \n")
+
+    rows = [(d, l, norm(t)) for d, l, t in
+            zip(df.doc_id, df.lang, df.text)]
+    # paragraph dedup
+    seen = set()
+    cleaned = []
+    for d, l, t in rows:
+        kept = []
+        for p in t.split("\n\n"):
+            if len(p) < 1:
+                kept.append(p)
+                continue
+            if p in seen:
+                continue
+            seen.add(p)
+            kept.append(p)
+        cleaned.append((d, l, "\n\n".join(kept)))
+    # token gate
+    gated = [(d, l, t, len(re.findall(TOKEN_RE, t)))
+             for d, l, t in cleaned
+             if len(re.findall(TOKEN_RE, t)) >= 5]
+    # exact dedup (min doc_id per text)
+    first = {}
+    for d, l, t, n in gated:
+        first.setdefault(t, d)
+    ded = [(d, l, n) for d, l, t, n in gated if first[t] == d]
+    # mixture
+    off = _offset(SEED)
+    out = []
+    for d, l, n in ded:
+        w = W.get(l, 1.0)
+        h = (np.uint64(np.int64(d)) * np.uint64(SAMPLE_A)
+             + np.uint64(off))
+        nc = int(math.floor(w)) + int(
+            int(h) < rate_threshold(w - math.floor(w)))
+        for e in range(nc):
+            out.append((d, l, e, n))
+    # pack over (doc_id * 8 + epoch) order
+    out.sort(key=lambda r: r[0] * 8 + r[2])
+    res, cum = [], 0
+    for d, l, e, n in out:
+        res.append((d, l, e, n, cum, cum // BUDGET))
+        cum += n
+    return pd.DataFrame(res, columns=["doc_id", "lang", "epoch",
+                                      "n_tokens", "token_offset",
+                                      "seq_id"])
+
+
+def test_corpus_prep_adversarial(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.pipelines.corpus_prep import corpus_prep
+
+    rng = np.random.default_rng(2)
+    boiler = "subscribe to our newsletter"
+    docs, langs = [], []
+    for i in range(120):
+        lang = ["en", "de", "zh", "fr"][i % 4]
+        body = " ".join(rng.choice(
+            ["alpha", "beta", "gamma", "delta", "tok"], 12))
+        # NFD accents + CRLF + boilerplate para shared by all docs
+        t = f"Héro {i // 3}\r\n\r\n{boiler}\r\n\r\n{body}"
+        if i % 10 == 9:
+            t = "tiny"                     # fails the 5-token gate
+        docs.append(t)
+        langs.append(lang)
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64),
+                       "lang": langs, "text": docs})
+    out = corpus_prep(rd.from_pandas(df).repartition(7), weights=W,
+                      mix_seed=SEED, budget=BUDGET) \
+        .to_pandas().sort_values(["doc_id", "epoch"]) \
+        .reset_index(drop=True)
+    ref = _naive(df).sort_values(["doc_id", "epoch"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[ref.columns.tolist()], ref)
+    assert (out.lang != "zh").all()            # w=0 stratum dropped
+    assert out.epoch.max() >= 2                # en upsampled
+    assert len(out) < 3 * 120                  # gates actually dropped
