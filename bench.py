@@ -31,7 +31,8 @@ BENCH_QUERIES = ["doc_line_stats", "pii_scrub", "lineage_sha256",
                  "boilerplate_lines", "doc_chunks", "kmeans_embeddings",
                  "repetition_stats", "key_deltas", "pack_sequences",
                  "mixture_epochs", "shuffle_order", "tfidf_keywords",
-                 "dedup_paragraphs"]
+                 "dedup_paragraphs", "normalize_text", "sketch_quantiles",
+                 "incremental_dedup", "corpus_prep"]
 
 
 def _consume(obj) -> int:
