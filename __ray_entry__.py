@@ -612,6 +612,19 @@ def _q_sketch_quantiles(sf_dir: str):
                                    value_col="n_chars")
 
 
+def _q_rate_limit(sf_dir: str):
+    """Keep the first 3 events per user per hour (tumbling): hash-part
+    co-location, one lexsort pass per part, (ts, event_id) tie
+    contract."""
+    import ray.data as rd
+
+    from dqm_ray.functions.windows import rate_limit
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id"])
+    return rate_limit(ds, window_minutes=60, k=3)
+
+
 def _q_corpus_prep(sf_dir: str):
     """The composed end-to-end LLM corpus-prep chain (see
     pipelines/corpus_prep.py) — normalize, paragraph dedup, token
@@ -1353,6 +1366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_quantiles": _q_sketch_quantiles,
         "incremental_dedup": _q_incremental_dedup,
         "corpus_prep": _q_corpus_prep,
+        "rate_limit": _q_rate_limit,
     }
 
 
@@ -2600,4 +2614,14 @@ def oracle_sql() -> dict[str, str]:
                               WHERE x.doc_id % 2 = 1
                                 AND x.text = d.text)""",
         "corpus_prep": _corpus_prep_oracle_sql(),
+        # first-k per (user, hour window), (ts, event_id) tie order.
+        "rate_limit": """
+            SELECT user_id, event_id, window_start,
+                   CAST(rn AS BIGINT) AS rn
+            FROM (SELECT user_id, event_id,
+                         date_trunc('hour', ts) AS window_start,
+                         row_number() OVER (
+                             PARTITION BY user_id, date_trunc('hour', ts)
+                             ORDER BY ts, event_id) AS rn
+                  FROM events) WHERE rn <= 3""",
     }

@@ -108,3 +108,47 @@ def key_deltas(ds, *, key_col: str = "user_id", ts_col: str = "ts"):
 
     return _with_part(ds, key_col).groupby("part") \
         .map_groups(part_deltas, batch_format="pandas")
+
+
+def rate_limit(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id", window_minutes: int = 60,
+               k: int = 3):
+    """Per-key per-window rate limiting: keep the first ``k`` events of
+    each key in every tumbling window, ordered by ``(ts, id)`` (the id
+    breaks timestamp ties deterministically — same contract as the
+    as-of join fix).
+
+    Same scale shape as the other window ops: 64-way hash-part
+    co-location, ONE lexsort pass per part, rank via run-start
+    subtraction — no per-key dispatch; the shuffle moves only
+    (key, ts, id). Emits (key, id, window_start, rn). Reference
+    parity: the reference throttles per-channel export cadence per
+    poll window (fake_app_confgen.py cadence/size pairs).
+    """
+    w = np.timedelta64(window_minutes * 60, "s")
+
+    def part_limit(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[key_col].to_numpy()
+        ts = df[ts_col].to_numpy()
+        ids = df[id_col].to_numpy().astype(np.int64)
+        win = ts.astype("datetime64[us]")
+        win = win - ((win - np.datetime64(0, "us")) % w)
+        order = np.lexsort((ids, ts, win, key))
+        key, ts, ids, win = (key[order], ts[order], ids[order],
+                             win[order])
+        if not len(key):
+            return pd.DataFrame({key_col: key, id_col: ids,
+                                 "window_start": win,
+                                 "rn": np.empty(0, np.int64)})
+        new_run = np.ones(len(key), dtype=bool)
+        new_run[1:] = (key[1:] != key[:-1]) | (win[1:] != win[:-1])
+        starts = np.nonzero(new_run)[0]
+        seg_len = np.diff(np.r_[starts, len(key)])
+        rn = np.arange(len(key)) - np.repeat(starts, seg_len)
+        keep = rn < k
+        return pd.DataFrame({key_col: key[keep], id_col: ids[keep],
+                             "window_start": win[keep],
+                             "rn": (rn[keep] + 1).astype(np.int64)})
+
+    return _with_part(ds, key_col).groupby("part") \
+        .map_groups(part_limit, batch_format="pandas")

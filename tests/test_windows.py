@@ -78,3 +78,32 @@ def test_sessionize_string_keys(ray_session):
                      ts_col="ts").to_pandas()
     want = _naive_sessions(df)
     assert dict(zip(got["user_id"], got["n_sessions"])) == want
+
+
+def _naive_rate_limit(df, window_minutes=60, k=3):
+    win = df["ts"].dt.floor(f"{window_minutes}min")
+    d = df.assign(window_start=win).sort_values(
+        ["user_id", "window_start", "ts", "event_id"])
+    d["rn"] = d.groupby(["user_id", "window_start"]).cumcount() + 1
+    return d[d["rn"] <= k][["user_id", "event_id", "window_start", "rn"]]
+
+
+def test_rate_limit_matches_naive(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.windows import rate_limit
+
+    df = _events(n=5000, n_users=40, seed=11)
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    # plant exact (user, ts) ties so the event_id tie-break matters
+    df.loc[5, ["user_id", "ts"]] = df.loc[4, ["user_id", "ts"]]
+    df.loc[6, ["user_id", "ts"]] = df.loc[4, ["user_id", "ts"]]
+    out = rate_limit(rd.from_pandas(df).repartition(9),
+                     window_minutes=60, k=3).to_pandas() \
+        .sort_values(["user_id", "window_start", "rn"]) \
+        .reset_index(drop=True)
+    ref = _naive_rate_limit(df).sort_values(
+        ["user_id", "window_start", "rn"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["user_id", "event_id", "window_start", "rn"]], ref)
+    assert (out.groupby(["user_id", "window_start"]).size() <= 3).all()
