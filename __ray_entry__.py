@@ -612,6 +612,18 @@ def _q_sketch_quantiles(sf_dir: str):
                                    value_col="n_chars")
 
 
+def _q_quantize_embeddings(sf_dir: str):
+    """Per-vector symmetric int8 quantization (unpivoted output;
+    float64-exact scale + half-away rounding for SQL parity)."""
+    import ray.data as rd
+
+    from dqm_ray.functions.similarity import quantize_embeddings
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return quantize_embeddings(ds)
+
+
 def _q_rate_limit(sf_dir: str):
     """Keep the first 3 events per user per hour (tumbling): hash-part
     co-location, one lexsort pass per part, (ts, event_id) tie
@@ -1367,6 +1379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "corpus_prep": _q_corpus_prep,
         "rate_limit": _q_rate_limit,
+        "quantize_embeddings": _q_quantize_embeddings,
     }
 
 
@@ -2624,4 +2637,27 @@ def oracle_sql() -> dict[str, str]:
                              PARTITION BY user_id, date_trunc('hour', ts)
                              ORDER BY ts, event_id) AS rn
                   FROM events) WHERE rn <= 3""",
+        # float32 -> DOUBLE promotion is exact; same IEEE op order
+        # (abs-max, /127, |x|/s + 0.5, floor, sign) -> bitwise equal.
+        "quantize_embeddings": """
+            WITH d AS (SELECT vec_id,
+                              list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            s AS (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) / 127.0
+                             AS scale
+                  FROM d),
+            e AS (SELECT vec_id, scale,
+                         unnest(list_transform(range(1, len(v) + 1),
+                           i -> struct_pack(dim := i - 1, x := v[i])))
+                             AS u
+                  FROM s)
+            SELECT vec_id, CAST(u.dim AS BIGINT) AS dim, scale,
+                   CAST(CASE WHEN scale = 0 THEN 0
+                             WHEN u.x < 0
+                             THEN -floor(abs(u.x) / scale + 0.5)
+                             ELSE floor(abs(u.x) / scale + 0.5)
+                        END AS BIGINT) AS q
+            FROM e""",
     }

@@ -428,3 +428,53 @@ def kmeans_embeddings(ds, *, k: int = 8, iters: int = 3,
         "centroid": pa.array(np.round(cent, round_to).ravel(), pa.float64()),
         "n": pa.array(np.repeat(counts, d), pa.int64()),
     })
+
+
+def quantize_embeddings(ds, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """Symmetric per-vector int8 quantization — the storage/bandwidth
+    scale path for ANN (4x smaller vectors, int8 dot products):
+    ``scale = max|v| / 127`` (computed in float64 — float32 inputs
+    promote exactly, so both engines see identical doubles), ``q =
+    sign(v) * floor(|v|/scale + 0.5)`` — round-half-AWAY-from-zero,
+    matching SQL ``round`` semantics where numpy's ``np.round``
+    (half-even) would diverge on exact .5 quotients. Zero vectors get
+    scale 0 / q 0. Output is unpivoted (vec_id, dim, scale, q) so the
+    driver compare needs no list-column hashing. Embarrassingly
+    parallel; no shuffle."""
+
+    def quant(batch: pa.Table) -> pa.Table:
+        col = batch.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(batch)
+        if not n:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "scale": pa.array([], pa.float64()),
+                             "q": pa.array([], pa.int64())})
+        if isinstance(col, (pa.ListArray, pa.LargeListArray,
+                            pa.FixedSizeListArray)):
+            flat = col.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            mat = flat.reshape(n, len(flat) // n)
+        else:  # Ray tensor-extension column (from_pandas ndarray cells)
+            mat = np.asarray(col.to_numpy(zero_copy_only=False),
+                             dtype=np.float64)
+        d = mat.shape[1]
+        amax = np.abs(mat).max(axis=1)
+        scale = amax / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.sign(mat) * np.floor(np.abs(mat) / safe[:, None] + 0.5)
+        q = np.where(scale[:, None] == 0.0, 0.0, q).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n),
+                            pa.int64()),
+            "scale": pa.array(np.repeat(scale, d), pa.float64()),
+            "q": pa.array(q.ravel(), pa.int64()),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow", num_cpus=1)

@@ -76,3 +76,39 @@ def test_sketch_sql_parity(ray_session):
     ref = con.sql(sketch_sql("t", group_col="g", value_col="v")) \
         .df().sort_values("g").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, ref)
+
+
+def test_quantize_embeddings_parity_and_reconstruction(ray_session):
+    """int8 quantization: bitwise DuckDB parity (incl. exact .5
+    quotients and a zero vector) and reconstruction error <= scale/2
+    per element."""
+    import duckdb
+    import ray.data as rd
+
+    from dqm_ray.functions.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(0, 1, (200, 16)).astype(np.float32)
+    vecs[0] = 0.0                                   # zero vector
+    vecs[1] = [127.0, -63.5, 63.5, 1.0] * 4         # exact .5 ratios
+    df = pd.DataFrame({
+        "vec_id": np.arange(200, dtype=np.int64),
+        "embedding": [v for v in vecs],
+    })
+    out = quantize_embeddings(rd.from_pandas(df).repartition(5)) \
+        .to_pandas().sort_values(["vec_id", "dim"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("embeddings", df)
+    from __ray_entry__ import oracle_sql
+    ref = con.sql(oracle_sql()["quantize_embeddings"]).df() \
+        .sort_values(["vec_id", "dim"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
+    # half-away rounding: 63.5/127 * 127 = 63.5 -> q = 64, not 63
+    row = out[(out.vec_id == 1) & (out.dim == 2)].iloc[0]
+    assert row["q"] == 64
+    # reconstruction bound
+    nz = out[out.scale > 0]
+    recon = nz["q"].to_numpy() * nz["scale"].to_numpy()
+    orig = vecs.astype(np.float64)[nz["vec_id"], nz["dim"]]
+    assert np.abs(recon - orig).max() <= nz["scale"].max() / 2 + 1e-12
+    assert out[out.vec_id == 0]["q"].eq(0).all()
