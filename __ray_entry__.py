@@ -624,6 +624,27 @@ def _q_quantize_embeddings(sf_dir: str):
     return quantize_embeddings(ds)
 
 
+def _q_knn_quantized(sf_dir: str):
+    """Quantized max-inner-product top-10 (int8 dots, two-multiply
+    rescale — the 4x-bandwidth ANN path) for query vectors vec_id < 4;
+    ranking key bitwise-reproducible in SQL."""
+    import ray.data as rd
+
+    from dqm_ray.functions.similarity import knn_quantized
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    mask = np.asarray(head["vec_id"]) < 4
+    q_ids = np.asarray(head["vec_id"])[mask]
+    q_mat = np.stack(head["embedding"].to_numpy(zero_copy_only=False)[mask])
+    df = knn_quantized(ds, q_ids, q_mat, k=10, concurrency=2)
+    df["score"] = np.round(df["score"].to_numpy(), 6)
+    return df[["query_id", "vec_id", "rank", "score"]]
+
+
 def _q_rate_limit(sf_dir: str):
     """Keep the first 3 events per user per hour (tumbling): hash-part
     co-location, one lexsort pass per part, (ts, event_id) tie
@@ -1380,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": _q_corpus_prep,
         "rate_limit": _q_rate_limit,
         "quantize_embeddings": _q_quantize_embeddings,
+        "knn_quantized": _q_knn_quantized,
     }
 
 
@@ -2660,4 +2682,41 @@ def oracle_sql() -> dict[str, str]:
                              ELSE floor(abs(u.x) / scale + 0.5)
                         END AS BIGINT) AS q
             FROM e""",
+        # int8 dots are exact BIGINT sums; ranking key = two float
+        # multiplies in the SAME order as the Ray kernel -> identical
+        # ranks; score rounded to 6 for display only.
+        "knn_quantized": """
+            WITH d AS (SELECT vec_id,
+                              list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            s AS (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) / 127.0
+                             AS scale
+                  FROM d),
+            e AS (SELECT vec_id, scale,
+                         u.dim AS dim,
+                         CAST(CASE WHEN scale = 0 THEN 0
+                                   WHEN u.x < 0
+                                   THEN -floor(abs(u.x) / scale + 0.5)
+                                   ELSE floor(abs(u.x) / scale + 0.5)
+                              END AS BIGINT) AS q
+                  FROM (SELECT vec_id, scale,
+                               unnest(list_transform(range(1, len(v) + 1),
+                                 i -> struct_pack(dim := i - 1,
+                                                  x := v[i]))) AS u
+                        FROM s) t),
+            dots AS (SELECT e.vec_id AS vec_id, qs.vec_id AS qid,
+                            CAST(SUM(e.q * qs.q) AS BIGINT) AS di,
+                            any_value(e.scale) AS se,
+                            any_value(qs.scale) AS sq
+                     FROM e JOIN (SELECT * FROM e WHERE vec_id < 4) qs
+                       USING (dim)
+                     GROUP BY e.vec_id, qs.vec_id)
+            SELECT qid AS query_id, vec_id, CAST(rn AS BIGINT) AS rank,
+                   round(CAST(di AS DOUBLE) * se * sq, 6) AS score
+            FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY CAST(di AS DOUBLE) * se * sq DESC,
+                                vec_id) AS rn
+                  FROM dots) WHERE rn <= 10""",
     }

@@ -453,20 +453,9 @@ def quantize_embeddings(ds, *, vec_col: str = "embedding",
                              "dim": pa.array([], pa.int64()),
                              "scale": pa.array([], pa.float64()),
                              "q": pa.array([], pa.int64())})
-        if isinstance(col, (pa.ListArray, pa.LargeListArray,
-                            pa.FixedSizeListArray)):
-            flat = col.flatten().to_numpy(zero_copy_only=False) \
-                .astype(np.float64)
-            mat = flat.reshape(n, len(flat) // n)
-        else:  # Ray tensor-extension column (from_pandas ndarray cells)
-            mat = np.asarray(col.to_numpy(zero_copy_only=False),
-                             dtype=np.float64)
+        mat = _emb_matrix(col, n)
         d = mat.shape[1]
-        amax = np.abs(mat).max(axis=1)
-        scale = amax / 127.0
-        safe = np.where(scale == 0.0, 1.0, scale)
-        q = np.sign(mat) * np.floor(np.abs(mat) / safe[:, None] + 0.5)
-        q = np.where(scale[:, None] == 0.0, 0.0, q).astype(np.int64)
+        q, scale = _quantize_mat(mat)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         return pa.table({
@@ -478,3 +467,84 @@ def quantize_embeddings(ds, *, vec_col: str = "embedding",
         })
 
     return ds.map_batches(quant, batch_format="pyarrow", num_cpus=1)
+
+
+def _quantize_mat(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Shared int8 quantization math (see quantize_embeddings): per-row
+    symmetric scale, half-away rounding, zero rows -> zero."""
+    amax = np.abs(mat).max(axis=1) if mat.size else np.zeros(len(mat))
+    scale = amax / 127.0
+    safe = np.where(scale == 0.0, 1.0, scale)
+    q = np.sign(mat) * np.floor(np.abs(mat) / safe[:, None] + 0.5)
+    return (np.where(scale[:, None] == 0.0, 0.0, q).astype(np.int64),
+            scale)
+
+
+def _emb_matrix(col, n: int) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, (pa.ListArray, pa.LargeListArray,
+                        pa.FixedSizeListArray)):
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return flat.reshape(n, len(flat) // n) if n else flat.reshape(0, 0)
+    return np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.float64)
+
+
+class QuantizedTopK:
+    """Actor-pool stage: per-batch QUANTIZED max-inner-product top-k —
+    int8 dot products (the 4x-bandwidth ANN scale path) rescaled by the
+    two per-vector scales; queries quantized once per actor."""
+
+    def __init__(self, queries_ref, k: int, *, id_col: str = "vec_id",
+                 emb_col: str = "embedding"):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) \
+            else queries_ref
+        self.q_ids = np.asarray(q["ids"], dtype=np.int64)
+        self.qq, self.qs = _quantize_mat(
+            np.asarray(q["mat"], dtype=np.float64))
+        self.k = k
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        mat = _emb_matrix(batch.column(self.emb_col), len(batch))
+        qb, sb = _quantize_mat(mat)
+        di = qb @ self.qq.T                        # exact int64 dots
+        # rescale order mirrors the SQL: (double(di) * s_e) * s_q
+        score = (di.astype(np.float64) * sb[:, None]) * self.qs[None, :]
+        sim = score.T                              # (n_q, n_batch)
+        k = min(self.k, sim.shape[1])
+        top = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+        rows = np.repeat(self.q_ids, k)
+        cols = ids[top.ravel()]
+        vals = np.take_along_axis(sim, top, axis=1).ravel()
+        return pa.table({
+            "query_id": pa.array(rows, pa.int64()),
+            self.id_col: pa.array(cols.astype(np.int64), pa.int64()),
+            "score": pa.array(vals, pa.float64()),
+        })
+
+
+def knn_quantized(ds, query_ids: np.ndarray, query_mat: np.ndarray,
+                  k: int = 10, *, id_col: str = "vec_id",
+                  emb_col: str = "embedding", concurrency=2,
+                  batch_size: int = 4096) -> pd.DataFrame:
+    """Global quantized-MIPS top-k per query; (score desc, vec_id asc)
+    tie order. Same partial-top-k-per-batch shape as knn_brute_force;
+    the exact-integer dot + two-multiply rescale makes the ranking key
+    bitwise reproducible in SQL."""
+    ref = ray.put({"ids": np.asarray(query_ids),
+                   "mat": np.asarray(query_mat)})
+    partials = ds.map_batches(
+        QuantizedTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col,
+                                   emb_col=emb_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+    df = partials.to_pandas()
+    df = df.sort_values(["query_id", "score", id_col],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df.reset_index(drop=True)

@@ -205,3 +205,32 @@ def test_ivf_persisted_index_roundtrip(ray_session, tmp_path):
     top1 = approx[approx["rank"] == 1]
     assert (top1.sort_values("query_id")["vec_id"].to_numpy()
             == q_ids).all()
+
+
+def test_knn_quantized_recall_vs_float(ray_session):
+    """Quantized MIPS top-k must agree with exact float dot-product
+    top-k on >= 80% of neighbors (int8 keeps ~2 decimal digits), and
+    repeated runs are identical."""
+    import ray.data as rd
+
+    from dqm_ray.functions.similarity import knn_quantized
+
+    rng = np.random.default_rng(9)
+    mat = rng.normal(0, 1, (500, 32)).astype(np.float64)
+    df = pd.DataFrame({"vec_id": np.arange(500, dtype=np.int64),
+                       "embedding": [v for v in mat]})
+    q_ids = np.arange(3, dtype=np.int64)
+    q_mat = mat[:3]
+    ds = rd.from_pandas(df).repartition(4)
+    out = knn_quantized(ds, q_ids, q_mat, k=10)
+    out2 = knn_quantized(ds, q_ids, q_mat, k=10)
+    pd.testing.assert_frame_equal(out, out2)        # deterministic
+    hits = 0
+    for qi in range(3):
+        exact = np.argsort(-(mat @ q_mat[qi]))[:10]
+        got = out[out.query_id == qi]["vec_id"].to_numpy()
+        hits += len(set(exact) & set(got))
+    assert hits >= 24                                # >= 80% recall
+    # self-match: each query's own vector ranks first
+    for qi in range(3):
+        assert out[(out.query_id == qi)].iloc[0]["vec_id"] == qi
