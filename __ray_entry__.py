@@ -624,6 +624,38 @@ def _q_quantize_embeddings(sf_dir: str):
     return quantize_embeddings(ds)
 
 
+def _q_jsonl_ingest(sf_dir: str):
+    """Multi-format ingestion parity: documents exported once to JSONL
+    (cached, atomic publish), re-read via ray.data.read_json, and
+    reduced to per-lang counts + char sums — must equal the DuckDB
+    result computed from the PARQUET table, proving the JSONL source
+    path loses nothing. S1/S3 source analog for a second wire format."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    jdir = os.path.join(_CACHE, "docs_jsonl_" +
+                        hashlib.sha256(sf_dir.encode()).hexdigest()[:12])
+    if not os.path.isdir(jdir):
+        tmp = jdir + f".tmp{os.getpid()}"
+        _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]) \
+            .write_json(tmp)
+        os.replace(tmp, jdir)
+    ds = rd.read_json(jdir)
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+        })
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang") \
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_chars", alias_name="sum_chars"))
+    return out
+
+
 def _q_knn_quantized(sf_dir: str):
     """Quantized max-inner-product top-10 (int8 dots, two-multiply
     rescale — the 4x-bandwidth ANN path) for query vectors vec_id < 4;
@@ -1402,6 +1434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_limit": _q_rate_limit,
         "quantize_embeddings": _q_quantize_embeddings,
         "knn_quantized": _q_knn_quantized,
+        "jsonl_ingest": _q_jsonl_ingest,
     }
 
 
@@ -2719,4 +2752,10 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY CAST(di AS DOUBLE) * se * sq DESC,
                                 vec_id) AS rn
                   FROM dots) WHERE rn <= 10""",
+        # oracle reads the PARQUET view — equality proves the JSONL
+        # round-trip (write_json -> read_json) loses nothing.
+        "jsonl_ingest": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang""",
     }
