@@ -884,6 +884,14 @@ def _q_fourier_events(sf_dir: str):
     out = fourier_by_key(ds, key="event_type", value_col="value",
                          order_col="event_id", n_points=256)
     df = out.to_pandas()
+    if "magnitude" not in df.columns:
+        # all keys < n_points -> empty Dataset loses its schema (the
+        # 0-column empty-frame gotcha); rebuild the typed empty frame
+        import pandas as pd
+
+        df = pd.DataFrame({"event_type": pd.Series(dtype=object),
+                           "freq_idx": pd.Series(dtype="int64"),
+                           "magnitude": pd.Series(dtype="float64")})
     df["magnitude"] = np.round(df["magnitude"].to_numpy(), 6)
     return df
 
