@@ -112,3 +112,62 @@ def test_sampling_threshold_monotone_and_deterministic(keys, pct):
     lo = h < np.uint64(rate_threshold(pct / 100))
     hi = h < np.uint64(rate_threshold(min(pct * 2, 100) / 100 - 1e-12))
     assert not (lo & ~hi).any()  # lower-rate sample ⊆ higher-rate
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(
+           st.integers(min_value=-(2**62), max_value=2**62),
+           st.integers(min_value=0, max_value=10**9)),
+       min_size=1, max_size=400, unique_by=lambda t: t[0]),
+       st.integers(min_value=1, max_value=7))
+def test_two_phase_scan_algebra_equals_direct_cumsum(pairs, n_blocks):
+    """The range-binned two-phase scan (per-block bin partials -> spine
+    fold -> per-bin cumsum + offset) must equal a direct global
+    exclusive cumsum for ANY key distribution and ANY block split —
+    the merge-invariance contract of scan.py at the algebra level."""
+    from dqm_ray.functions.scan import N_BINS, _bin_of
+
+    keys = np.array([p[0] for p in pairs], np.int64)
+    vals = np.array([p[1] for p in pairs], np.int64)
+    lo, hi = int(keys.min()), int(keys.max())
+    width = max((hi - lo) // N_BINS + 1, 1)
+    b = _bin_of(keys, lo, width)
+    assert (b >= 0).all() and (b < N_BINS).all()
+    # bin index must be monotone in key order
+    order = np.argsort(keys, kind="mergesort")
+    assert (np.diff(b[order]) >= 0).all()
+    # phase 1: per-block partial bin sums (arbitrary split)
+    blocks = np.array_split(np.arange(len(keys)), n_blocks)
+    sums = np.zeros(N_BINS, np.int64)
+    for blk in blocks:
+        np.add.at(sums, b[blk], vals[blk])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
+    # phase 2: per-bin local sort + cumsum + spine offset
+    out = np.zeros(len(keys), np.int64)
+    for bin_id in np.unique(b):
+        m = b == bin_id
+        o = np.argsort(keys[m], kind="mergesort")
+        idx = np.nonzero(m)[0][o]
+        v = vals[idx]
+        out[idx] = np.cumsum(v) - v + offsets[bin_id]
+    # direct reference
+    v_sorted = vals[order]
+    ref = np.zeros(len(keys), np.int64)
+    ref[order] = np.cumsum(v_sorted) - v_sorted
+    assert (out == ref).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=2, max_size=300, unique=True))
+def test_bin_of_monotone_across_full_int64_domain(keys):
+    """_bin_of must be order-preserving for keys anywhere in the int64
+    domain (modular uint64 subtraction — a signed k-lo would overflow)."""
+    from dqm_ray.functions.scan import N_BINS, _bin_of
+
+    k = np.array(sorted(keys), np.int64)
+    lo, hi = int(k[0]), int(k[-1])
+    width = max((hi - lo) // N_BINS + 1, 1)
+    b = _bin_of(k, lo, width)
+    assert (np.diff(b) >= 0).all()
+    assert (b >= 0).all() and (b < N_BINS).all()
