@@ -624,6 +624,20 @@ def _q_quantize_embeddings(sf_dir: str):
     return quantize_embeddings(ds)
 
 
+_SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_SPLIT_SEED = 21
+
+
+def _q_dataset_split(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment — pure function
+    of (doc_id, seed); disjoint and rerun-stable by construction."""
+    from dqm_ray.functions.sampling import dataset_split
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+    return dataset_split(ds, key_col="doc_id", fractions=_SPLIT_FRACS,
+                         seed=_SPLIT_SEED)
+
+
 def _q_jsonl_ingest(sf_dir: str):
     """Multi-format ingestion parity: documents exported once to JSONL
     (cached, atomic publish), re-read via ray.data.read_json, and
@@ -1443,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "knn_quantized": _q_knn_quantized,
         "jsonl_ingest": _q_jsonl_ingest,
+        "dataset_split": _q_dataset_split,
     }
 
 
@@ -2263,6 +2278,20 @@ def _corpus_prep_oracle_sql() -> str:
         FROM p"""
 
 
+def _split_oracle_sql() -> str:
+    from dqm_ray.functions.sampling import rate_threshold, sample_sql_hash
+
+    h = sample_sql_hash("doc_id", seed=_SPLIT_SEED)
+    names = list(_SPLIT_FRACS.keys())
+    cum, whens = 0.0, []
+    for name in names[:-1]:
+        cum += _SPLIT_FRACS[name]
+        whens.append(f"WHEN {h} < {rate_threshold(cum)} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"""
+        SELECT doc_id, lang, {case} AS split FROM documents"""
+
+
 def _normalize_oracle_sql() -> str:
     from dqm_ray.functions.text import normalize_sql_expr
 
@@ -2766,4 +2795,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang""",
+        # same hash + cumulative integer thresholds as sampling.py
+        # dataset_split -> identical assignment.
+        "dataset_split": _split_oracle_sql(),
     }

@@ -111,6 +111,34 @@ def mixture_resample(ds, *, key_col: str, stratum_col: str,
     return ds.map_batches(expand, batch_format="pyarrow", num_cpus=1)
 
 
+def dataset_split(ds, *, key_col: str, fractions: dict, seed: int = 0,
+                  split_col: str = "split"):
+    """Deterministic train/val/test (or any n-way) split: the keyed
+    hash is compared against cumulative fraction thresholds, so every
+    row's split is a pure function of (key, seed) — stable across
+    reruns, resumes, engines and cluster sizes, and disjoint by
+    construction. ``fractions`` is an ordered {name: frac} dict; the
+    LAST name absorbs any remainder (so fractions may sum to < 1 and
+    the tail is exact). Zero shuffle: one vectorized map_batches."""
+    names = list(fractions.keys())
+    cum, edges = 0.0, []
+    for name in names[:-1]:
+        cum += fractions[name]
+        edges.append(rate_threshold(cum))
+    off = np.uint64(_offset(seed))
+    edges_np = np.array(edges, dtype=np.uint64)
+    names_np = np.array(names, dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = keys.astype(np.int64).view(np.uint64) * np.uint64(SAMPLE_A) + off
+        idx = np.searchsorted(edges_np, h, side="right")
+        return batch.append_column(
+            split_col, pa.array(names_np[idx], pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", num_cpus=1)
+
+
 def sample_sql_hash(key_expr: str, seed: int = 0) -> str:
     """The keyed hash as a DuckDB expression producing the same uint64
     value as the Ray side (32-bit-split mulmod so the HUGEINT product

@@ -152,3 +152,31 @@ def test_pack_sequences_budget_boundaries(ray_session):
     out = out.sort_values("doc_id").reset_index(drop=True)
     assert out["token_offset"].tolist() == [0, 100, 128, 129, 129, 179]
     assert out["seq_id"].tolist() == [0, 0, 1, 1, 1, 1]
+
+
+def test_dataset_split_partition_properties(ray_session):
+    """Splits are a disjoint cover, frequencies track the requested
+    fractions, assignment is rerun-stable, and disjointness holds
+    across different block layouts."""
+    import ray.data as rd
+
+    from dqm_ray.functions.sampling import dataset_split
+
+    df = pd.DataFrame({"doc_id": np.arange(20000, dtype=np.int64)})
+    F = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = dataset_split(rd.from_pandas(df).repartition(5), key_col="doc_id",
+                      fractions=F, seed=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dataset_split(rd.from_pandas(df).repartition(13), key_col="doc_id",
+                      fractions=F, seed=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)              # layout-invariant
+    counts = a["split"].value_counts(normalize=True)
+    assert abs(counts["train"] - 0.8) < 0.02
+    assert abs(counts["val"] - 0.1) < 0.01
+    assert abs(counts["test"] - 0.1) < 0.01
+    # different seed reshuffles membership
+    c = dataset_split(rd.from_pandas(df), key_col="doc_id",
+                      fractions=F, seed=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (a["split"].to_numpy() != c["split"].to_numpy()).any()
