@@ -624,6 +624,22 @@ def _q_quantize_embeddings(sf_dir: str):
     return quantize_embeddings(ds)
 
 
+_BUDGETS = {"en": 120_000, "de": 40_000, "fr": 25_000,
+            "es": 1_000_000_000, "zh": 15_000}
+_BUDGET_SEED = 13
+
+
+def _q_budget_sample(sf_dir: str):
+    """Char-budget downsampling per lang: rate = budget/total chars,
+    hash-gated membership; es budget exceeds its total -> kept whole."""
+    from dqm_ray.functions.sampling import budget_sample
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    return budget_sample(ds, key_col="doc_id", stratum_col="lang",
+                         size_col="n_chars", budgets=_BUDGETS,
+                         seed=_BUDGET_SEED)
+
+
 _SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
 _SPLIT_SEED = 21
 
@@ -1458,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_quantized": _q_knn_quantized,
         "jsonl_ingest": _q_jsonl_ingest,
         "dataset_split": _q_dataset_split,
+        "budget_sample": _q_budget_sample,
     }
 
 
@@ -2278,6 +2295,28 @@ def _corpus_prep_oracle_sql() -> str:
         FROM p"""
 
 
+def _budget_oracle_sql() -> str:
+    from dqm_ray.functions.sampling import sample_sql_hash
+
+    h = sample_sql_hash("d.doc_id", seed=_BUDGET_SEED)
+    b_case = ("CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _BUDGETS.items())
+        + " ELSE NULL END")
+    m = 1 << 64
+    return f"""
+        WITH tot AS (SELECT lang,
+                            CAST({b_case} AS DOUBLE)
+                                / CAST(SUM(n_chars) AS DOUBLE) AS rate
+                     FROM documents GROUP BY lang),
+        thr AS (SELECT lang,
+                       LEAST(CAST(floor(rate * {float(m)!r}) AS HUGEINT),
+                             CAST({m - 1} AS HUGEINT)) AS t
+                FROM tot)
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN thr USING (lang)
+        WHERE {h} < thr.t"""
+
+
 def _split_oracle_sql() -> str:
     from dqm_ray.functions.sampling import rate_threshold, sample_sql_hash
 
@@ -2798,4 +2837,8 @@ def oracle_sql() -> dict[str, str]:
         # same hash + cumulative integer thresholds as sampling.py
         # dataset_split -> identical assignment.
         "dataset_split": _split_oracle_sql(),
+        # rate = CAST(budget AS DOUBLE)/CAST(total AS DOUBLE), threshold
+        # = floor(rate * 2^64) clamped in HUGEINT — identical float ops
+        # and integer clamp as sampling.py budget_sample.
+        "budget_sample": _budget_oracle_sql(),
     }

@@ -139,6 +139,27 @@ def dataset_split(ds, *, key_col: str, fractions: dict, seed: int = 0,
     return ds.map_batches(assign, batch_format="pyarrow", num_cpus=1)
 
 
+def budget_sample(ds, *, key_col: str, stratum_col: str, size_col: str,
+                  budgets: dict, seed: int = 0):
+    """Sample each stratum down to a target SIZE budget (tokens/chars/
+    bytes): rate_s = budget_s / total_s, then the deterministic keyed
+    hash keeps ~rate_s of each stratum — expected kept size == budget,
+    membership still a pure row function. Strata with budget >= total
+    (rate >= 1) keep everything; strata missing from ``budgets`` keep
+    everything. Two passes: a tiny per-stratum size aggregate (counter
+    shuffle only), then the zero-shuffle predicate pass. The rates are
+    float64 divisions of the same integers in the same order as the
+    SQL oracle, so thresholds match bitwise."""
+    from ray.data.aggregate import Sum
+
+    tot_rows = ds.groupby(stratum_col) \
+        .aggregate(Sum(size_col, alias_name="total")).take_all()
+    rates = {r[stratum_col]: budgets[r[stratum_col]] / float(r["total"])
+             for r in tot_rows if r[stratum_col] in budgets}
+    return hash_sample(ds, key_col=key_col, rate=1.0, seed=seed,
+                       stratum_col=stratum_col, rates=rates)
+
+
 def sample_sql_hash(key_expr: str, seed: int = 0) -> str:
     """The keyed hash as a DuckDB expression producing the same uint64
     value as the Ray side (32-bit-split mulmod so the HUGEINT product

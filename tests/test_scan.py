@@ -180,3 +180,32 @@ def test_dataset_split_partition_properties(ray_session):
                       fractions=F, seed=5).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert (a["split"].to_numpy() != c["split"].to_numpy()).any()
+
+
+def test_budget_sample_hits_targets(ray_session):
+    """Expected kept size per stratum tracks its budget; over-budget
+    strata keep everything; membership is layout-invariant."""
+    import ray.data as rd
+
+    from dqm_ray.functions.sampling import budget_sample
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "doc_id": np.arange(30000, dtype=np.int64),
+        "dom": rng.choice(["a", "b"], 30000),
+        "size": rng.integers(50, 150, 30000).astype(np.int64),
+    })
+    tot = df.groupby("dom")["size"].sum()
+    B = {"a": int(tot["a"] * 0.3), "b": int(tot["b"] * 10)}
+    a = budget_sample(rd.from_pandas(df).repartition(4), key_col="doc_id",
+                      stratum_col="dom", size_col="size", budgets=B,
+                      seed=2).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    b2 = budget_sample(rd.from_pandas(df).repartition(11), key_col="doc_id",
+                       stratum_col="dom", size_col="size", budgets=B,
+                       seed=2).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b2)
+    kept = a.groupby("dom")["size"].sum()
+    assert abs(kept["a"] / B["a"] - 1.0) < 0.05     # ~30% budget hit
+    assert kept["b"] == tot["b"]                     # over-budget: all
