@@ -32,7 +32,8 @@ BENCH_QUERIES = ["doc_line_stats", "pii_scrub", "lineage_sha256",
                  "repetition_stats", "key_deltas", "pack_sequences",
                  "mixture_epochs", "shuffle_order", "tfidf_keywords",
                  "dedup_paragraphs", "normalize_text", "sketch_quantiles",
-                 "incremental_dedup", "corpus_prep"]
+                 "incremental_dedup", "corpus_prep", "rate_limit",
+                 "knn_quantized", "budget_sample"]
 
 
 def _consume(obj) -> int:

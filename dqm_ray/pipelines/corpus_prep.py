@@ -85,3 +85,25 @@ def corpus_prep(ds, *, weights: dict, mix_seed: int = 11,
 
     return out.map_batches(seq, batch_format="pyarrow") \
         .drop_columns(["_pk"])
+
+
+def write_training_shards(prep_ds, out_dir: str, *,
+                          seqs_per_shard: int = 1024):
+    """Materialize corpus_prep output as hive-partitioned training
+    shards: ``out_dir/shard=<seq_id // seqs_per_shard>/``. Contiguous
+    seq ranges land in the same directory, so a training job reads
+    shards in order with no further shuffle, a failed prep run can
+    skip already-complete shard directories on rerun, and each shard
+    is small enough to re-emit atomically — the flagship's per-shard
+    resume contract (pipelines/quality.py manifest semantics) applied
+    to the training-set layout."""
+    import pyarrow as pa
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        s = batch.column("seq_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array(s // seqs_per_shard, pa.int64()))
+
+    prep_ds.map_batches(add_shard, batch_format="pyarrow") \
+        .write_parquet(out_dir, partition_cols=["shard"])
+    return out_dir

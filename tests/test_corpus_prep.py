@@ -110,3 +110,34 @@ def test_corpus_prep_adversarial(ray_session):
     assert (out.lang != "zh").all()            # w=0 stratum dropped
     assert out.epoch.max() >= 2                # en upsampled
     assert len(out) < 3 * 120                  # gates actually dropped
+
+
+def test_write_training_shards_layout(ray_session, tmp_path):
+    """Shard dirs partition the seq range; the union of shard contents
+    equals the prep output exactly."""
+    import ray.data as rd
+
+    import pyarrow.dataset as pads
+    from dqm_ray.pipelines.corpus_prep import (corpus_prep,
+                                               write_training_shards)
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "lang": rng.choice(["en", "de"], 200),
+        "text": [" ".join(rng.choice(["tok", "alpha", "beta"], 20))
+                 + f" uniq{i}" for i in range(200)],
+    })
+    prep = corpus_prep(rd.from_pandas(df).repartition(5),
+                       weights={"en": 2.0, "de": 1.0}, mix_seed=1,
+                       budget=64)
+    out = str(tmp_path / "shards")
+    write_training_shards(prep, out, seqs_per_shard=4)
+    back = pads.dataset(out, partitioning="hive").to_table().to_pandas()
+    ref = prep.to_pandas()
+    assert len(back) == len(ref)
+    assert (back["shard"] == back["seq_id"] // 4).all()
+    a = back.drop(columns=["shard"]).sort_values(["doc_id", "epoch"]) \
+        .reset_index(drop=True)
+    b = ref.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[b.columns.tolist()], b)
