@@ -624,6 +624,16 @@ def _q_quantize_embeddings(sf_dir: str):
     return quantize_embeddings(ds)
 
 
+def _q_train_bigram_lm(sf_dir: str):
+    """Distributed char-bigram LM training (the scorer's model as a
+    counting job): bounded |langs|x128x128 counter shuffle, top-20
+    bigrams per lang."""
+    from dqm_ray.functions.lm import train_bigram_lm
+
+    ds = _docs(sf_dir, columns=["lang", "text"])
+    return train_bigram_lm(ds, top_k=20)
+
+
 _BUDGETS = {"en": 120_000, "de": 40_000, "fr": 25_000,
             "es": 1_000_000_000, "zh": 15_000}
 _BUDGET_SEED = 13
@@ -1475,6 +1485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_ingest": _q_jsonl_ingest,
         "dataset_split": _q_dataset_split,
         "budget_sample": _q_budget_sample,
+        "train_bigram_lm": _q_train_bigram_lm,
     }
 
 
@@ -2841,4 +2852,28 @@ def oracle_sql() -> dict[str, str]:
         # = floor(rate * 2^64) clamped in HUGEINT — identical float ops
         # and integer clamp as sampling.py budget_sample.
         "budget_sample": _budget_oracle_sql(),
+        # ASCII-pair bigrams: both codepoints < 128 == both BYTES < 128
+        # over utf8 (multi-byte codepoints only emit bytes >= 0x80), so
+        # codepoint pairs in SQL count the same multiset as the byte
+        # kernel; ties (n DESC, c1, c2) pinned both sides.
+        "train_bigram_lm": """
+            WITH ch AS (
+              SELECT lang,
+                     unnest(list_transform(range(1, length(text)), i ->
+                       struct_pack(a := unicode(substr(text, i, 1)),
+                                   b := unicode(substr(text, i + 1, 1)))))
+                         AS p
+              FROM documents),
+            cnt AS (SELECT lang, p.a AS c1, p.b AS c2,
+                           count(*) AS n
+                    FROM ch
+                    WHERE p.a BETWEEN 0 AND 127
+                      AND p.b BETWEEN 0 AND 127
+                    GROUP BY 1, 2, 3)
+            SELECT lang, CAST(c1 AS BIGINT) AS c1,
+                   CAST(c2 AS BIGINT) AS c2, n,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                       ORDER BY n DESC, c1, c2) AS rn
+                  FROM cnt) WHERE rn <= 20""",
     }

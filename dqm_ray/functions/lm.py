@@ -1,0 +1,100 @@
+"""Distributed n-gram language-model TRAINING — the counting job that
+produces the char-bigram table the flagship's scorer consumes
+(stages/scorer.py VectorBigramModel; external-model injection path).
+At corpus scale, "training" an n-gram LM is exactly a distributed
+count: per-batch bincount partials over a bounded vocabulary
+(|langs| x 128 x 128 cells), one tiny groupby-sum, zero content
+through the shuffle.
+
+ASCII-pair semantics shared bitwise with the SQL oracle: a bigram is
+counted iff BOTH codepoints are < 128. Over raw utf8 BYTES that is
+"both bytes < 128" — multi-byte codepoints contribute only bytes
+>= 0x80 (lead >= 0xC2, continuations 0x80-0xBF), so adjacent
+ASCII-ASCII codepoint pairs are exactly adjacent byte pairs below
+128, and the two representations count the same multiset.
+
+Reference parity: Hist fill loop reduced to a bounded counter vector
+per window (include/dqm/algs/Hist.hpp) — here the counter IS the
+model.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+V = 128  # ASCII vocabulary; bigram space V*V per stratum
+
+
+def train_bigram_lm(ds, *, text_col: str = "text",
+                    lang_col: str = "lang", top_k: int | None = 20):
+    """Per-lang char-bigram counts; with ``top_k``, the k most frequent
+    bigrams per lang (ties: c1 ASC, c2 ASC). Returns a Dataset
+    (lang, c1, c2, n[, rank])."""
+    from ray.data.aggregate import Sum
+
+    from dqm_ray.stages.rules import string_buffer_view
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column(lang_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(langs, return_inverse=True)
+        text = batch.column(text_col).combine_chunks()
+        empty = pa.table({lang_col: pa.array([], pa.string()),
+                          "code": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        view = string_buffer_view(text)
+        if view is None:
+            # null/empty fast path unusable: per-row fallback
+            vals = text.to_pylist()
+            rows = []
+            for li, t in zip(inv, vals):
+                if not t:
+                    continue
+                b = np.frombuffer(t.encode(), np.uint8).astype(np.int64)
+                rows.append((li, b))
+            if not rows:
+                return empty
+            li_all = np.concatenate(
+                [np.full(len(b), li, np.int64) for li, b in rows])
+            d = np.concatenate([b for _, b in rows])
+            offs = np.cumsum([0] + [len(b) for _, b in rows])
+        else:
+            d, offs = view
+            d = d.astype(np.int64)
+            li_all = np.repeat(inv.astype(np.int64), np.diff(offs))
+        if len(d) < 2:
+            return empty
+        a, b = d[:-1], d[1:]
+        la = li_all[:-1]
+        # valid: both ASCII and not crossing a document boundary
+        starts = np.zeros(len(d), bool)
+        starts[offs[:-1][offs[:-1] < len(d)]] = True
+        ok = (a < V) & (b < V) & ~starts[1:]
+        code = la[ok] * (V * V) + a[ok] * V + b[ok]
+        cnt = np.bincount(code, minlength=len(uniq) * V * V)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            lang_col: pa.array(uniq[nz // (V * V)]),
+            "code": pa.array(nz % (V * V), pa.int64()),
+            "n": pa.array(cnt[nz], pa.int64()),
+        })
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            num_cpus=1) \
+        .groupby([lang_col, "code"]).aggregate(Sum("n", alias_name="n"))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["c1"] = g["code"].to_numpy() // V
+        g["c2"] = g["code"].to_numpy() % V
+        g = g.sort_values(["n", "c1", "c2"],
+                          ascending=[False, True, True])
+        if top_k is not None:
+            g = g.head(top_k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[[lang_col, "c1", "c2", "n", "rank"]]
+
+    # bounded groups: one per lang, <= V*V rows each
+    return counts.groupby(lang_col).map_groups(finish,
+                                               batch_format="pandas")

@@ -1,0 +1,76 @@
+"""Distributed bigram-LM training (dqm_ray/functions/lm.py) vs a
+naive codepoint-pair Counter: ASCII-pair filter around multi-byte
+codepoints, document-boundary masking, per-lang top-k tie order, and
+the model actually slotting into the scorer's injection format."""
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+
+def _naive(df, top_k=5):
+    per_lang = {}
+    for lang, text in zip(df["lang"], df["text"]):
+        c = per_lang.setdefault(lang, Counter())
+        for x, y in zip(text, text[1:]):
+            if ord(x) < 128 and ord(y) < 128:
+                c[(ord(x), ord(y))] += 1
+    rows = []
+    for lang, c in per_lang.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        for rank, ((a, b), n) in enumerate(top, 1):
+            rows.append((lang, a, b, n, rank))
+    return pd.DataFrame(rows, columns=["lang", "c1", "c2", "n", "rank"])
+
+
+def test_train_bigram_lm_matches_naive(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.lm import train_bigram_lm
+
+    rng = np.random.default_rng(8)
+    texts, langs = [], []
+    for i in range(300):
+        body = "".join(rng.choice(list("abcde \n"), 60))
+        if i % 7 == 0:
+            body = "xéy" + body      # é breaks ASCII adjacency
+        if i % 11 == 0:
+            body = ""                      # empty doc
+        texts.append(body)
+        langs.append(["en", "de", "fr"][i % 3])
+    df = pd.DataFrame({"lang": langs, "text": texts})
+    out = train_bigram_lm(rd.from_pandas(df).repartition(6), top_k=5) \
+        .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True)
+    ref = _naive(df, top_k=5).sort_values(["lang", "rank"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[ref.columns.tolist()], ref)
+    # doc boundaries never pair: last char of doc i with first of i+1
+    # would otherwise dominate for single-char docs
+    df2 = pd.DataFrame({"lang": ["en"] * 50, "text": ["a"] * 50})
+    out2 = train_bigram_lm(rd.from_pandas(df2).repartition(3),
+                           top_k=5).to_pandas()
+    assert len(out2) == 0                  # no intra-doc pairs exist
+
+
+def test_trained_model_feeds_the_scorer(ray_session):
+    """Counts -> log-prob table in the scorer's external-model format:
+    the closed loop from distributed training to the flagship's
+    perplexity stage."""
+    import ray.data as rd
+
+    from dqm_ray.functions.lm import train_bigram_lm
+    from dqm_ray.stages.scorer import VectorBigramModel
+
+    df = pd.DataFrame({"lang": ["en"] * 100,
+                       "text": ["the quick brown fox"] * 100})
+    full = train_bigram_lm(rd.from_pandas(df), top_k=None).to_pandas()
+    counts = np.ones((128, 128))           # +1 smoothing like the model
+    counts[full["c1"], full["c2"]] += full["n"]
+    logp = np.log(counts / counts.sum(axis=1, keepdims=True))
+    m = VectorBigramModel.__new__(VectorBigramModel)
+    m.log_p = logp
+    # frequent text scores lower perplexity than unseen-charset text
+    good, bad = m.log_ppl_many(["the quick brown fox",
+                                "zzqqjjxx~~##@@!!"])
+    assert good < bad
