@@ -65,3 +65,28 @@ def test_dedup_paragraphs_random_corpus(ray_session):
     # every distinct paragraph survives exactly once corpus-wide
     kept_paras = [p for t in out["text"] for p in t.split("\n\n") if p]
     assert sorted(set(kept_paras)) == sorted(kept_paras)
+
+
+def test_bucketed_path_matches_broadcast_path(ray_session, tmp_path):
+    """dedup_paragraphs_bucketed (no broadcast; per-bucket join) must
+    produce exactly the broadcast path's output on a template-heavy
+    corpus."""
+    import ray.data as rd
+
+    from dqm_ray.functions.paragraphs import (dedup_paragraphs,
+                                              dedup_paragraphs_bucketed)
+
+    rng = np.random.default_rng(3)
+    pool = [f"shared para {i} body" for i in range(30)]
+    docs = ["\n\n".join(rng.choice(pool, size=rng.integers(1, 6)))
+            for _ in range(300)]
+    docs[7] = ""                       # empty doc survives both paths
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                       "text": docs})
+    ds = rd.from_pandas(df).repartition(9)
+    a = dedup_paragraphs(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dedup_paragraphs_bucketed(ds, str(tmp_path / "w"),
+                                  num_buckets=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
