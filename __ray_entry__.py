@@ -1149,6 +1149,23 @@ def _q_decontaminate(sf_dir: str):
         grams, k=_DECONTAM_K)
 
 
+def _q_scrub_spans(sf_dir: str):
+    """Span-level decontamination: cut exactly the bytes covered by
+    matched benchmark 13-grams instead of dropping the document —
+    same broadcast-probe shape as decontaminate."""
+    from dqm_ray.functions.decontam import (collect_benchmark_grams,
+                                            scrub_spans)
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    grams = collect_benchmark_grams(
+        docs.map_batches(_bench_split(True), batch_format="pyarrow"),
+        k=_DECONTAM_K)
+    return scrub_spans(
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(_bench_split(False), batch_format="pyarrow"),
+        grams, k=_DECONTAM_K)
+
+
 _SAMPLE_SEED = 11
 _SAMPLE_BASE_RATE = 0.1
 _SAMPLE_RATES = {"en": 0.1, "zh": 0.5, "es": 0.25, "de": 0.25, "fr": 0.25}
@@ -1486,6 +1503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": _q_dataset_split,
         "budget_sample": _q_budget_sample,
         "train_bigram_lm": _q_train_bigram_lm,
+        "scrub_spans": _q_scrub_spans,
     }
 
 
@@ -2063,6 +2081,10 @@ def _gram_ctes(k: int = _DECONTAM_K) -> str:
           FROM bytes WHERE L < {k} GROUP BY doc_id
           UNION
           SELECT doc_id, 0 FROM documents WHERE length(text) = 0
+        ),
+        pos_grams AS (
+          SELECT doc_id, i, CAST(({gram_expr}) % {M} AS UBIGINT) AS gram
+          FROM w WHERE L >= {k} AND i <= L - {k} + 1
         )"""
 
 
@@ -2078,6 +2100,42 @@ def _decontam_oracle_sql(k: int = _DECONTAM_K,
         FROM grams g JOIN bench USING (gram)
         WHERE g.doc_id % {bench_mod} <> 0
         GROUP BY g.doc_id"""
+
+
+def _span_scrub_oracle_sql(k: int = _DECONTAM_K,
+                           bench_mod: int = _BENCH_MOD) -> str:
+    """Span-level decontamination in SQL: matched k-gram START
+    positions come from pos_grams; the cover set is the union of
+    [i, i+k) per hit; cleaned text = string_agg of uncovered chars in
+    order (byte == codepoint — the ASCII precondition the gram CTEs
+    already rely on)."""
+    return f"""
+        WITH {_gram_ctes(k)},
+        bench AS (SELECT DISTINCT gram FROM grams
+                  WHERE doc_id % {bench_mod} = 0),
+        hits AS (SELECT p.doc_id, p.i FROM pos_grams p
+                 JOIN bench USING (gram)
+                 WHERE p.doc_id % {bench_mod} <> 0),
+        cover AS (SELECT DISTINCT h.doc_id, h.i + t.d AS pos
+                  FROM hits h, unnest(range(0, {k})) t(d)),
+        corpus AS (SELECT doc_id FROM documents
+                   WHERE doc_id % {bench_mod} <> 0),
+        agg AS (
+          SELECT b.doc_id,
+                 coalesce(string_agg(chr(b.b0), '' ORDER BY b.i)
+                          FILTER (WHERE c.pos IS NULL), '') AS text,
+                 CAST(count(c.pos) AS BIGINT) AS n_chars_removed
+          FROM bytes b
+          LEFT JOIN cover c ON b.doc_id = c.doc_id AND b.i = c.pos
+          WHERE b.doc_id % {bench_mod} <> 0
+          GROUP BY b.doc_id),
+        nh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+               FROM hits GROUP BY doc_id)
+        SELECT c.doc_id, coalesce(a.text, '') AS text,
+               coalesce(n.n_hits, 0) AS n_hits,
+               coalesce(a.n_chars_removed, 0) AS n_chars_removed
+        FROM corpus c LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN nh n USING (doc_id)"""
 
 
 # quality_score_batch re-derived as one SQL expression over `text` —
@@ -2411,6 +2469,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle_sql(),
         "knn_ivf": _knn_ivf_oracle_sql("sf0.01"),
         "decontaminate": _decontam_oracle_sql(),
+        "scrub_spans": _span_scrub_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "docprep": _docprep_oracle_sql(),
         "bucketed_join_revenue": """

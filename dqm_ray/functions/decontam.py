@@ -186,3 +186,102 @@ def filter_clean(ds, bench_grams: np.ndarray, *, text_col: str = "text",
 
     return ds.map_batches(flt, batch_format="pyarrow",
                           batch_size=batch_size, num_cpus=1)
+
+
+def scrub_spans(ds, bench_grams: np.ndarray, *, id_col: str = "doc_id",
+                text_col: str = "text", k: int = DEFAULT_K,
+                batch_size: int = 512):
+    """SPAN-level decontamination: instead of dropping a contaminated
+    document, delete exactly the bytes covered by any matched k-gram
+    (the union of [start, start+k) over matched starts — overlapping
+    matches merge into one cut). Keeps the rest of the document, which
+    at web scale preserves most of a page that merely quotes one eval
+    item. Docs shorter than k are never cut (no k-gram exists).
+
+    Same broadcast-probe shape as :func:`decontaminate`; the cover
+    mask is one +1/-1 diff + cumsum over the batch's raw byte buffer,
+    and cleaned strings are rebuilt zero-copy from the kept bytes.
+    Byte-position cuts equal codepoint cuts only for ASCII text — the
+    same precondition the gram-hash SQL oracle already relies on
+    (``unicode(substr(...))`` == byte value); non-ASCII corpora should
+    pre-partition or accept byte semantics.
+
+    Returns (id, text, n_hits, n_chars_removed) for EVERY input doc.
+    """
+    import ray
+
+    from dqm_ray.functions.dedup import batch_gram_hashes
+    from dqm_ray.stages.rules import string_buffer_view
+
+    grams_ref = ray.put(np.sort(np.asarray(bench_grams, dtype=np.uint64)))
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        bench = ray.get(grams_ref)
+        text = batch.column(text_col).combine_chunks()
+        n = len(batch)
+        view = string_buffer_view(text)
+        if view is None:
+            # nulls/empties: per-row fallback (rare)
+            out_t, out_h, out_r = [], [], []
+            for t in text.to_pylist():
+                t = t or ""
+                d = np.frombuffer(t.encode(), np.uint8)
+                from dqm_ray.functions.dedup import _rolling_gram_hashes
+                g = _rolling_gram_hashes(d, k)
+                pos = np.searchsorted(bench, g)
+                hit = (pos < len(bench)) & \
+                    (bench[np.minimum(pos, max(len(bench) - 1, 0))] == g) \
+                    if len(bench) and len(g) else np.zeros(len(g), bool)
+                starts_l = np.nonzero(hit)[0]
+                delta = np.zeros(len(d) + k + 1, np.int64)
+                delta[starts_l] += 1
+                delta[starts_l + k] -= 1
+                cover = np.cumsum(delta[:len(d)]) > 0
+                out_t.append(d[~cover].tobytes().decode())
+                out_h.append(int(hit.sum()))
+                out_r.append(int(cover.sum()))
+            return pa.table({id_col: batch.column(id_col),
+                             "text": pa.array(out_t, pa.string()),
+                             "n_hits": pa.array(out_h, pa.int64()),
+                             "n_chars_removed": pa.array(out_r,
+                                                         pa.int64())})
+        data, offs = view
+        grams, starts, counts = batch_gram_hashes(text, k)
+        byte_lens = np.diff(offs)
+        short = byte_lens < k                 # whole-doc pseudo-gram
+        doc_idx = np.repeat(np.arange(n), counts)
+        local = np.arange(len(grams), dtype=np.int64) \
+            - np.repeat(starts, counts)
+        if len(bench) and len(grams):
+            pos = np.searchsorted(bench, grams)
+            hit = (pos < len(bench)) & \
+                (bench[np.minimum(pos, len(bench) - 1)] == grams)
+        else:
+            hit = np.zeros(len(grams), bool)
+        hit &= ~short[doc_idx]                # short docs never cut
+        g_start = offs[:-1][doc_idx[hit]] + local[hit]
+        delta = np.zeros(len(data) + k + 1, np.int64)
+        np.add.at(delta, g_start, 1)
+        np.add.at(delta, g_start + k, -1)
+        cover = np.cumsum(delta[:len(data)]) > 0
+        kept = data[~cover]
+        # per-doc covered-byte counts via prefix sums (robust to empty
+        # docs and trailing zero-length segments, unlike reduceat)
+        cumcov = np.zeros(len(data) + 1, np.int64)
+        np.cumsum(cover.astype(np.int64), out=cumcov[1:])
+        removed_per_doc = cumcov[offs[1:]] - cumcov[offs[:-1]]
+        new_lens = byte_lens - removed_per_doc
+        new_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(new_lens, out=new_offs[1:])
+        cleaned = pa.LargeStringArray.from_buffers(
+            n, pa.py_buffer(new_offs.astype(np.int64).tobytes()),
+            pa.py_buffer(kept.tobytes()))
+        n_hits = np.bincount(doc_idx[hit], minlength=n).astype(np.int64)
+        return pa.table({id_col: batch.column(id_col),
+                         "text": cleaned.cast(pa.string()),
+                         "n_hits": pa.array(n_hits, pa.int64()),
+                         "n_chars_removed": pa.array(removed_per_doc,
+                                                     pa.int64())})
+
+    return ds.map_batches(scrub, batch_format="pyarrow",
+                          batch_size=batch_size, num_cpus=1)

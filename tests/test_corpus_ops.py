@@ -248,3 +248,52 @@ def test_label_centroids_matches_numpy(ray_session):
         got = out[out["label"] == lab].sort_values("dim")["centroid"] \
             .to_numpy()
         np.testing.assert_allclose(got, want, atol=1.1e-6)
+
+
+def test_scrub_spans_matches_naive(ray_session):
+    """Span-level decontamination: cover = union of matched k-gram
+    byte ranges; short docs untouched; fully-covered docs become ''."""
+    import ray.data as rd
+
+    from dqm_ray.functions.decontam import (DEFAULT_K,
+                                            collect_benchmark_grams,
+                                            scrub_spans)
+    from dqm_ray.functions.dedup import (_poly_hash,
+                                         _rolling_gram_hashes)
+
+    k = DEFAULT_K
+    bench_texts = ["the secret eval answer is fortytwo",
+                   "leaked benchmark passage here"]
+    docs = [
+        "clean document with nothing shared at all",
+        "prefix text the secret eval answer is fortytwo suffix text",
+        "xx leaked benchmark passage here yy "
+        "the secret eval answer is fortytwo zz",
+        "short",                               # < k: never cut
+        "",                                    # empty
+        "the secret eval answer is fortytwo",  # fully covered
+    ]
+    bdf = pd.DataFrame({"doc_id": np.arange(2, dtype=np.int64),
+                        "text": bench_texts})
+    cdf = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                        "text": docs})
+    bench = collect_benchmark_grams(rd.from_pandas(bdf))
+    out = scrub_spans(rd.from_pandas(cdf).repartition(3), bench) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    bset = set()
+    for t in bench_texts:
+        d = np.frombuffer(t.encode(), np.uint8)
+        bset.update(_rolling_gram_hashes(d, k).tolist())
+    for i, t in enumerate(docs):
+        d = np.frombuffer(t.encode(), np.uint8)
+        g = _rolling_gram_hashes(d, k)
+        hits = [j for j in range(len(g)) if int(g[j]) in bset]
+        cover = np.zeros(len(d), bool)
+        for j in hits:
+            cover[j:j + k] = True
+        row = out.iloc[i]
+        assert row["text"] == d[~cover].tobytes().decode()
+        assert row["n_hits"] == len(hits)
+        assert row["n_chars_removed"] == int(cover.sum())
+    assert out.iloc[5]["text"] == ""           # fully scrubbed away
+    assert out.iloc[3]["n_chars_removed"] == 0  # short doc untouched
