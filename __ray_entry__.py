@@ -650,6 +650,20 @@ def _q_budget_sample(sf_dir: str):
                          seed=_BUDGET_SEED)
 
 
+_EXACTK_SEED = 17
+
+
+def _q_sample_exact_k(sf_dir: str):
+    """Exactly 10 docs per lang, chosen by smallest keyed hash —
+    uniform yet deterministic (unlike reservoir sampling); partial
+    top-k per batch, tiny merge."""
+    from dqm_ray.functions.sampling import sample_exact_k
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+    return sample_exact_k(ds, key_col="doc_id", stratum_col="lang",
+                          k=10, seed=_EXACTK_SEED)
+
+
 _SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
 _SPLIT_SEED = 21
 
@@ -1504,6 +1518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_sample": _q_budget_sample,
         "train_bigram_lm": _q_train_bigram_lm,
         "scrub_spans": _q_scrub_spans,
+        "sample_exact_k": _q_sample_exact_k,
     }
 
 
@@ -2386,6 +2401,20 @@ def _budget_oracle_sql() -> str:
         WHERE {h} < thr.t"""
 
 
+def _exact_k_oracle_sql() -> str:
+    from dqm_ray.functions.sampling import sample_sql_hash
+
+    h = sample_sql_hash("doc_id", seed=_EXACTK_SEED)
+    signed = (f"(CASE WHEN {h} >= 9223372036854775808 "
+              f"THEN {h} - 18446744073709551616 ELSE {h} END)")
+    return f"""
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY {signed}) AS rn
+          FROM documents) WHERE rn <= 10"""
+
+
 def _split_oracle_sql() -> str:
     from dqm_ray.functions.sampling import rate_threshold, sample_sql_hash
 
@@ -2470,6 +2499,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _knn_ivf_oracle_sql("sf0.01"),
         "decontaminate": _decontam_oracle_sql(),
         "scrub_spans": _span_scrub_oracle_sql(),
+        # smallest-signed-hash-per-stratum; bijective hash -> tie-free.
+        "sample_exact_k": _exact_k_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "docprep": _docprep_oracle_sql(),
         "bucketed_join_revenue": """

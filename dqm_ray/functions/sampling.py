@@ -160,6 +160,41 @@ def budget_sample(ds, *, key_col: str, stratum_col: str, size_col: str,
                        stratum_col=stratum_col, rates=rates)
 
 
+def sample_exact_k(ds, *, key_col: str, stratum_col: str, k: int,
+                   seed: int = 0):
+    """EXACT-size deterministic per-stratum sample: the k rows with the
+    smallest keyed hash in each stratum — uniform over the stratum
+    (the hash is a fixed random permutation of keys) yet a pure
+    function of (key, stratum-membership, seed), unlike reservoir
+    sampling whose result depends on encounter order. ``hash_sample``
+    gives expected-size samples; this gives exact counts (strata with
+    < k rows keep all).
+
+    Scale shape: per-batch partial top-k per stratum (sort only the
+    batch's candidate set) -> tiny (strata x k x blocks) shuffle ->
+    one bounded merge per stratum. Same partial-top-k pattern as
+    knn_brute_force."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = (keys.astype(np.int64).view(np.uint64) * np.uint64(SAMPLE_A)
+             + np.uint64(_offset(seed))).view(np.int64)
+        sv = batch.column(stratum_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({stratum_col: sv, key_col: keys.astype(np.int64),
+                           "_h": h})
+        df = df.sort_values("_h", kind="mergesort") \
+            .groupby(stratum_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_h", kind="mergesort").head(k)
+        return g.drop(columns=["_h"])
+
+    return ds.map_batches(partial, batch_format="pyarrow", num_cpus=1) \
+        .groupby(stratum_col).map_groups(merge, batch_format="pandas")
+
+
 def sample_sql_hash(key_expr: str, seed: int = 0) -> str:
     """The keyed hash as a DuckDB expression producing the same uint64
     value as the Ray side (32-bit-split mulmod so the HUGEINT product

@@ -209,3 +209,38 @@ def test_budget_sample_hits_targets(ray_session):
     kept = a.groupby("dom")["size"].sum()
     assert abs(kept["a"] / B["a"] - 1.0) < 0.05     # ~30% budget hit
     assert kept["b"] == tot["b"]                     # over-budget: all
+
+
+def test_sample_exact_k_properties(ray_session):
+    """Exactly k per stratum (or all if fewer); layout-invariant;
+    equals the brute-force smallest-hash selection."""
+    import ray.data as rd
+
+    from dqm_ray.functions.sampling import (SAMPLE_A, _offset,
+                                            sample_exact_k)
+
+    rng = np.random.default_rng(1)
+    df = pd.DataFrame({
+        "doc_id": np.arange(5000, dtype=np.int64),
+        "dom": rng.choice(["a", "b"], 5000),
+    })
+    df.loc[:29, "dom"] = "tiny"               # tiny stratum: 30 < k
+    a = sample_exact_k(rd.from_pandas(df).repartition(4),
+                       key_col="doc_id", stratum_col="dom", k=50,
+                       seed=3).to_pandas() \
+        .sort_values(["dom", "doc_id"]).reset_index(drop=True)
+    b = sample_exact_k(rd.from_pandas(df).repartition(13),
+                       key_col="doc_id", stratum_col="dom", k=50,
+                       seed=3).to_pandas() \
+        .sort_values(["dom", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    sizes = a.groupby("dom").size()
+    n_tiny = (df.dom == "tiny").sum()
+    assert sizes["a"] == 50 and sizes["b"] == 50
+    assert sizes["tiny"] == n_tiny            # short stratum keeps all
+    # brute-force reference
+    h = (df["doc_id"].to_numpy().view(np.uint64) * np.uint64(SAMPLE_A)
+         + np.uint64(_offset(3))).view(np.int64)
+    ref = df.assign(_h=h).sort_values("_h").groupby("dom").head(50)
+    assert set(map(tuple, a[["dom", "doc_id"]].to_numpy())) \
+        == set(map(tuple, ref[["dom", "doc_id"]].to_numpy()))
