@@ -1019,6 +1019,93 @@ def _q_knn_ivf(sf_dir: str):
     return df[["query_id", "vec_id", "rank", "cosine"]]
 
 
+def _q_knn_ivf_quantized(sf_dir: str):
+    """IVF I/O pruning x int8 compute: probed lists only leave
+    storage, quantized MIPS within — rank-exact SQL oracle."""
+    from dqm_ray.functions.similarity import knn_ivf_quantized
+
+    idx = _ensure_ivf_index(sf_dir)
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    mask = np.asarray(head["vec_id"]) < 4
+    q_ids = np.asarray(head["vec_id"])[mask]
+    q_mat = np.stack(head["embedding"].to_numpy(zero_copy_only=False)[mask])
+    df = knn_ivf_quantized(idx, q_ids, q_mat, k=10, n_probe=4)
+    df["score"] = np.round(df["score"].to_numpy(), 6)
+    return df[["query_id", "vec_id", "rank", "score"]]
+
+
+_QUANT_CTES = """
+        dq AS (SELECT vec_id,
+                      list_transform(embedding,
+                          x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+        sq_ AS (SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) / 127.0
+                           AS scale
+                FROM dq),
+        eq AS (SELECT vec_id, scale, u.dim AS dim,
+                      CAST(CASE WHEN scale = 0 THEN 0
+                                WHEN u.x < 0
+                                THEN -floor(abs(u.x) / scale + 0.5)
+                                ELSE floor(abs(u.x) / scale + 0.5)
+                           END AS BIGINT) AS q
+               FROM (SELECT vec_id, scale,
+                            unnest(list_transform(range(1, len(v) + 1),
+                              i -> struct_pack(dim := i - 1,
+                                               x := v[i]))) AS u
+                     FROM sq_) t)"""
+
+
+def _knn_ivf_quantized_oracle_sql(sf: str = "sf0.01") -> str:
+    """Probe/assign from the SAME persisted centroids as knn_ivf;
+    scoring = the knn_quantized integer-dot/two-multiply key
+    restricted to each query's probed lists."""
+    cent = os.path.join(_CACHE, f"ivf_index_{sf}", "centroids.parquet")
+    return f"""
+        WITH cent AS (SELECT list_id, centroid
+                      FROM read_parquet('{cent}')),
+        q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 4),
+        probe AS (
+          SELECT qid, list_id FROM (
+            SELECT q.qid, c.list_id,
+                   row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY list_dot_product(q.qe, c.centroid) DESC,
+                              c.list_id) AS pr
+            FROM q, cent c) WHERE pr <= 4
+        ),
+        assign AS (
+          SELECT vec_id, list_id FROM (
+            SELECT e.vec_id, c.list_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                               c.centroid) DESC,
+                              c.list_id) AS rn
+            FROM embeddings e, cent c) WHERE rn = 1
+        ),{_QUANT_CTES},
+        cand AS (SELECT p.qid, a.vec_id
+                 FROM probe p JOIN assign a USING (list_id)),
+        dots AS (SELECT c.qid, c.vec_id,
+                        CAST(SUM(e.q * qq.q) AS BIGINT) AS di,
+                        any_value(e.scale) AS se,
+                        any_value(qq.scale) AS sq
+                 FROM cand c
+                 JOIN eq e ON e.vec_id = c.vec_id
+                 JOIN eq qq ON qq.vec_id = c.qid AND qq.dim = e.dim
+                 GROUP BY c.qid, c.vec_id)
+        SELECT qid AS query_id, vec_id, CAST(rn AS BIGINT) AS rank,
+               round(CAST(di AS DOUBLE) * se * sq, 6) AS score
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY CAST(di AS DOUBLE) * se * sq DESC,
+                            vec_id) AS rn
+              FROM dots) WHERE rn <= 10"""
+
+
 def _knn_ivf_oracle_sql(sf: str = "sf0.01") -> str:
     """knn_ivf in SQL against the SAME persisted centroids: assignment =
     argmax centroid dot (first-max tie), probe = each query's top-4
@@ -1519,6 +1606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_bigram_lm": _q_train_bigram_lm,
         "scrub_spans": _q_scrub_spans,
         "sample_exact_k": _q_sample_exact_k,
+        "knn_ivf_quantized": _q_knn_ivf_quantized,
     }
 
 
@@ -2497,6 +2585,7 @@ def oracle_sql() -> dict[str, str]:
         "fourier_events": _fourier_events_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "knn_ivf": _knn_ivf_oracle_sql("sf0.01"),
+        "knn_ivf_quantized": _knn_ivf_quantized_oracle_sql("sf0.01"),
         "decontaminate": _decontam_oracle_sql(),
         "scrub_spans": _span_scrub_oracle_sql(),
         # smallest-signed-hash-per-stratum; bijective hash -> tie-free.

@@ -548,3 +548,95 @@ def knn_quantized(ds, query_ids: np.ndarray, query_mat: np.ndarray,
     df = df.groupby("query_id", as_index=False).head(k)
     df["rank"] = df.groupby("query_id").cumcount() + 1
     return df.reset_index(drop=True)
+
+
+def knn_ivf_quantized(index_dir: str, query_ids, query_mat, k: int = 10,
+                      *, n_probe: int = 4) -> pd.DataFrame:
+    """The combined 100-TB ANN path: IVF I/O pruning x int8 compute.
+    Probed partition dirs are read as in :func:`knn_ivf_index` (only
+    n_probe/n_centroids of the bytes leave storage), then scoring is
+    QUANTIZED max-inner-product — per-batch int8 dots against the
+    quantized queries, exact BIGINT sums, two-multiply rescale in the
+    same IEEE order as SQL (see knn_quantized) — so ranks stay
+    bitwise reproducible while vector compute reads 1/4 the bytes.
+    Probe selection uses the persisted float centroids (cosine, as
+    written by build_ivf_index); ranking key = quantized raw dot.
+    Returns (query_id, vec_id, score, rank)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    id_col, emb_col = meta["id_col"], meta["emb_col"]
+    ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(ct.column("list_id").to_numpy(zero_copy_only=False))
+    cent = np.stack(ct.column("centroid")
+                    .to_numpy(zero_copy_only=False))[order]
+    qn = _normalize(np.asarray(query_mat))
+    q_ids = np.asarray(query_ids, dtype=np.int64)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    qq, qs = _quantize_mat(np.asarray(query_mat, dtype=np.float64))
+
+    parts = []
+    for c in np.unique(probe):
+        d = os.path.join(index_dir, f"list_id={c}")
+        if not os.path.isdir(d):
+            continue
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.endswith(".parquet")]
+        if files:
+            lst = rd.read_parquet(files, columns=[id_col, emb_col])
+            parts.append(lst.map_batches(
+                lambda t, c=int(c): t.append_column(
+                    "list_id", pa.array(np.full(len(t), c, np.int32))),
+                batch_format="pyarrow"))
+    empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                          id_col: pd.Series(dtype="int64"),
+                          "score": pd.Series(dtype="float64"),
+                          "rank": pd.Series(dtype="int64")})
+    if not parts:
+        return empty
+    sub = parts[0]
+    for p in parts[1:]:
+        sub = sub.union(p)
+    q_ref = ray.put({"ids": q_ids, "qq": qq, "qs": qs, "probe": probe})
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        lid = batch.column("list_id").to_numpy(zero_copy_only=False)
+        mat = _emb_matrix(batch.column(emb_col), len(batch))
+        qb, sb = _quantize_mat(mat)
+        outs = []
+        for qi in range(len(q["ids"])):
+            mask = np.isin(lid, q["probe"][qi])
+            if not mask.any():
+                continue
+            di = qb[mask] @ q["qq"][qi]
+            s = (di.astype(np.float64) * sb[mask]) * q["qs"][qi]
+            kk = min(k, int(mask.sum()))
+            top = np.argpartition(-s, kk - 1)[:kk]
+            outs.append(pa.table({
+                "query_id": pa.array(np.full(kk, q["ids"][qi]),
+                                     pa.int64()),
+                id_col: pa.array(ids[mask][top].astype(np.int64)),
+                "score": pa.array(s[top], pa.float64()),
+            }))
+        if not outs:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.concat_tables(outs)
+
+    df = sub.map_batches(score, batch_format="pyarrow",
+                         batch_size=4096).to_pandas()
+    if not len(df):
+        return empty
+    df = df.sort_values(["query_id", "score", id_col],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df.reset_index(drop=True)

@@ -234,3 +234,33 @@ def test_knn_quantized_recall_vs_float(ray_session):
     # self-match: each query's own vector ranks first
     for qi in range(3):
         assert out[(out.query_id == qi)].iloc[0]["vec_id"] == qi
+
+
+def test_knn_ivf_quantized_agrees_with_ivf(ray_session, tmp_path):
+    """IVF+int8 returns the probed-lists MIPS top-k; neighbor overlap
+    with the float IVF cosine top-k stays high on unit-norm-ish data,
+    and the query's own vector still ranks first."""
+    import ray.data as rd
+
+    from dqm_ray.functions.similarity import (build_ivf_index,
+                                              knn_ivf_index,
+                                              knn_ivf_quantized)
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(0, 1, (600, 16))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    df = pd.DataFrame({"vec_id": np.arange(600, dtype=np.int64),
+                       "embedding": [v for v in mat]})
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(rd.from_pandas(df).repartition(4), idx,
+                    n_centroids=8)
+    q_ids = np.arange(3, dtype=np.int64)
+    fl = knn_ivf_index(idx, q_ids, mat[:3], k=10, n_probe=4)
+    qz = knn_ivf_quantized(idx, q_ids, mat[:3], k=10, n_probe=4)
+    hits = 0
+    for qi in range(3):
+        a = set(fl[fl.query_id == qi]["vec_id"])
+        b = set(qz[qz.query_id == qi]["vec_id"])
+        hits += len(a & b)
+        assert qz[qz.query_id == qi].iloc[0]["vec_id"] == qi
+    assert hits >= 21          # >= 70% overlap with the float ranking
