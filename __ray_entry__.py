@@ -650,6 +650,17 @@ def _q_budget_sample(sf_dir: str):
                          seed=_BUDGET_SEED)
 
 
+def _q_table_profile(sf_dir: str):
+    """Ingest data-quality report over documents: per-column nulls,
+    exact distincts (low-cardinality), min/max — one streaming pass of
+    fixed-size per-batch partials."""
+    from dqm_ray.functions.profile import profile_table
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "source", "n_chars"])
+    return profile_table(ds, distinct_cols=("lang", "source"),
+                         minmax_cols=("doc_id", "n_chars"))
+
+
 _EXACTK_SEED = 17
 
 
@@ -1607,6 +1618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_spans": _q_scrub_spans,
         "sample_exact_k": _q_sample_exact_k,
         "knn_ivf_quantized": _q_knn_ivf_quantized,
+        "table_profile": _q_table_profile,
     }
 
 
@@ -2590,6 +2602,35 @@ def oracle_sql() -> dict[str, str]:
         "scrub_spans": _span_scrub_oracle_sql(),
         # smallest-signed-hash-per-stratum; bijective hash -> tie-free.
         "sample_exact_k": _exact_k_oracle_sql(),
+        # same per-column report; min/max rendered via CAST AS VARCHAR
+        # == python str() for ints; n_distinct -1 where not requested.
+        "table_profile": """
+            SELECT 'doc_id' AS "column",
+                   CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT)
+                       AS n_nulls,
+                   CAST(-1 AS BIGINT) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_str,
+                   CAST(max(doc_id) AS VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'lang',
+                   CAST(count(*) FILTER (WHERE lang IS NULL) AS BIGINT),
+                   CAST(count(DISTINCT lang) AS BIGINT),
+                   NULL, NULL
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars',
+                   CAST(count(*) FILTER (WHERE n_chars IS NULL) AS BIGINT),
+                   CAST(-1 AS BIGINT),
+                   CAST(min(n_chars) AS VARCHAR),
+                   CAST(max(n_chars) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source',
+                   CAST(count(*) FILTER (WHERE source IS NULL) AS BIGINT),
+                   CAST(count(DISTINCT source) AS BIGINT),
+                   NULL, NULL
+            FROM documents""",
         "stratified_sample": _stratified_sample_oracle_sql(),
         "docprep": _docprep_oracle_sql(),
         "bucketed_join_revenue": """

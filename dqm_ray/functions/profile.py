@@ -1,0 +1,77 @@
+"""Table profiling: the schema/quality report an ingest runs before
+anything else — per column: null count, exact distinct count (for
+low-cardinality columns), and min/max for orderable columns.
+
+Scale shape: one streaming pass; per-batch partials are a FIXED-SIZE
+row per column (nulls, min, max, plus the batch's distinct values for
+columns declared low-cardinality — bounded by that cardinality, the
+same contract as the reference's per-channel map being configuration
+-sized, include/dqm/ChannelMap.hpp:28-44). The merge is a tiny
+groupby over |columns| rows. High-cardinality distincts belong to the
+HLL aggregate (aggregates.py ApproxDistinct), not this exact path.
+
+Output: one row per profiled column —
+(column, n_nulls, n_distinct, min_str, max_str); min/max rendered as
+strings so one table covers mixed types (the SQL oracle renders
+identically via CAST AS VARCHAR); n_distinct = -1 for columns not in
+``distinct_cols``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _order_key(s: str):
+    """Merge-order key for stringified min/max partials: numeric when
+    parseable (so '9' < '10'), lexical otherwise (ISO timestamps sort
+    chronologically)."""
+    try:
+        return (0, float(s), "")
+    except ValueError:
+        return (1, 0.0, s)
+
+
+def profile_table(ds, *, distinct_cols: tuple = (),
+                  minmax_cols: tuple = ()):
+    """Profile the union of the two column sets in one streaming pass."""
+    cols = sorted(set(distinct_cols) | set(minmax_cols))
+    dset = set(distinct_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            col = batch.column(c)
+            vals = col.drop_null()
+            dvals = (pc.unique(vals.combine_chunks()).to_pylist()
+                     if c in dset else [])
+            mn = mx = None
+            if c in set(minmax_cols) and len(vals):
+                mm = pc.min_max(vals)
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            rows.append({"column": c,
+                         "n_nulls": col.null_count,
+                         "distincts": [str(v) for v in dvals],
+                         "min_str": None if mn is None else str(mn),
+                         "max_str": None if mx is None else str(mx)})
+        return pa.Table.from_pylist(rows)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["column"].iloc[0]
+        dv = {v for lst in g["distincts"] for v in lst}
+        mns = [v for v in g["min_str"] if v is not None]
+        mxs = [v for v in g["max_str"] if v is not None]
+        return pd.DataFrame({
+            "column": [c],
+            "n_nulls": [np.int64(g["n_nulls"].sum())],
+            "n_distinct": [np.int64(len(dv)) if c in dset
+                           else np.int64(-1)],
+            "min_str": [min(mns, key=_order_key) if mns else None],
+            "max_str": [max(mxs, key=_order_key) if mxs else None],
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow", num_cpus=1) \
+        .groupby("column").map_groups(merge, batch_format="pandas")

@@ -297,3 +297,26 @@ def test_scrub_spans_matches_naive(ray_session):
         assert row["n_chars_removed"] == int(cover.sum())
     assert out.iloc[5]["text"] == ""           # fully scrubbed away
     assert out.iloc[3]["n_chars_removed"] == 0  # short doc untouched
+
+
+def test_profile_table_with_nulls_and_merge_order(ray_session):
+    """Null counting, exact distincts, numeric (not lexical) min/max
+    merging across blocks ('9' vs '10'), and -1 for unprofiled
+    distincts."""
+    import ray.data as rd
+
+    from dqm_ray.functions.profile import profile_table
+
+    df = pd.DataFrame({
+        "k": np.r_[np.arange(5, 15), np.arange(5, 15)].astype(np.int64),
+        "cat": ["a", "b", None, "a", "c"] * 4,
+    })
+    out = profile_table(rd.from_pandas(df).repartition(7),
+                        distinct_cols=("cat",), minmax_cols=("k",)) \
+        .to_pandas().sort_values("column").reset_index(drop=True)
+    k = out[out["column"] == "k"].iloc[0]
+    assert (k["min_str"], k["max_str"]) == ("5", "14")  # numeric merge
+    assert k["n_nulls"] == 0 and k["n_distinct"] == -1
+    c = out[out["column"] == "cat"].iloc[0]
+    assert c["n_nulls"] == 4 and c["n_distinct"] == 3
+    assert c["min_str"] is None or pd.isna(c["min_str"])
