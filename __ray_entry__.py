@@ -661,6 +661,48 @@ def _q_table_profile(sf_dir: str):
                          minmax_cols=("doc_id", "n_chars"))
 
 
+def _q_value_outliers(sf_dir: str):
+    """Percentile-based anomaly detection (the DQM alarm case): flag
+    events whose integer-cent value falls outside its type's exact
+    discrete [p1, p99] — integer thresholds from the bounded
+    value-count histogram, so flagging is bitwise engine-stable
+    (a mean/3-sigma float rule would flip on last-ulp boundaries)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dqm_ray.functions.quantiles import grouped_discrete_quantiles
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": batch.column("event_id"),
+                         "event_type": batch.column("event_type"),
+                         "vc": pa.array(np.round(v * 100)
+                                        .astype(np.int64), pa.int64())})
+
+    dsc = ds.map_batches(cents, batch_format="pyarrow")
+    qdf = grouped_discrete_quantiles(dsc, group_col="event_type",
+                                     value_col="vc", qs=(0.01, 0.99),
+                                     names=("p1", "p99")).to_pandas()
+    lo = dict(zip(qdf["event_type"], qdf["p1"].astype(np.int64)))
+    hi = dict(zip(qdf["event_type"], qdf["p99"].astype(np.int64)))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        vc = batch.column("vc").to_numpy(zero_copy_only=False)
+        p1 = pd.Series(et).map(lo).to_numpy(dtype=np.int64)
+        p99 = pd.Series(et).map(hi).to_numpy(dtype=np.int64)
+        low, high = vc < p1, vc > p99
+        keep = low | high
+        side = np.where(low, "low", "high")[keep]
+        out = batch.filter(pa.array(keep))
+        return out.append_column("side", pa.array(side, pa.string()))
+
+    return dsc.map_batches(flag, batch_format="pyarrow")
+
+
 _EXACTK_SEED = 17
 
 
@@ -1619,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_exact_k": _q_sample_exact_k,
         "knn_ivf_quantized": _q_knn_ivf_quantized,
         "table_profile": _q_table_profile,
+        "value_outliers": _q_value_outliers,
     }
 
 
@@ -2602,6 +2645,22 @@ def oracle_sql() -> dict[str, str]:
         "scrub_spans": _span_scrub_oracle_sql(),
         # smallest-signed-hash-per-stratum; bijective hash -> tie-free.
         "sample_exact_k": _exact_k_oracle_sql(),
+        # quantile_disc == the kernel's smallest-value-reaching-ceil(qN)
+        # rule; all comparisons in integer cents (no .5 ties in the
+        # data at cents scale — verified) -> bitwise-stable flag set.
+        "value_outliers": """
+            WITH v AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS vc
+                       FROM events),
+            q AS (SELECT event_type,
+                         quantile_disc(vc, 0.01) AS p1,
+                         quantile_disc(vc, 0.99) AS p99
+                  FROM v GROUP BY event_type)
+            SELECT v.event_id, v.event_type, v.vc,
+                   CASE WHEN v.vc < q.p1 THEN 'low'
+                        ELSE 'high' END AS side
+            FROM v JOIN q USING (event_type)
+            WHERE v.vc < q.p1 OR v.vc > q.p99""",
         # same per-column report; min/max rendered via CAST AS VARCHAR
         # == python str() for ints; n_distinct -1 where not requested.
         "table_profile": """

@@ -320,3 +320,31 @@ def test_profile_table_with_nulls_and_merge_order(ray_session):
     c = out[out["column"] == "cat"].iloc[0]
     assert c["n_nulls"] == 4 and c["n_distinct"] == 3
     assert c["min_str"] is None or pd.isna(c["min_str"])
+
+
+def test_value_outliers_flags_planted_anomalies(ray_session):
+    """Planted extreme values are flagged with the right side; inliers
+    are untouched; flag rate is ~2% per type by construction."""
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+
+    rng = np.random.default_rng(4)
+    n = 8000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["click", "view"], n),
+        "value": rng.uniform(10, 20, n),
+    })
+    df.loc[0, "value"] = 9999.0     # planted high
+    df.loc[1, "value"] = -9999.0    # planted low
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        out = entry.queries()["value_outliers"](d)
+        out = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    flagged = dict(zip(out["event_id"], out["side"]))
+    assert flagged.get(0) == "high" and flagged.get(1) == "low"
+    # p1/p99 fences flag roughly 2% of each type
+    rate = len(out) / n
+    assert 0.01 < rate < 0.03
