@@ -703,6 +703,46 @@ def _q_value_outliers(sf_dir: str):
     return dsc.map_batches(flag, batch_format="pyarrow")
 
 
+def _q_prep_report(sf_dir: str):
+    """Stage-retention observability for the corpus-prep chain (the
+    K3 opmon analog): docs surviving each stage plus the final
+    sequence count — each number re-derived from the live operators,
+    verified against the same chain's SQL CTEs."""
+    import pandas as pd
+
+    from dqm_ray.functions.dedup import exact_dedup
+    from dqm_ray.functions.paragraphs import dedup_paragraphs
+    from dqm_ray.functions.text import (normalize_text_batch,
+                                        token_count_batch)
+    from dqm_ray.pipelines.corpus_prep import corpus_prep
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "text"])
+    n_input = ds.count()
+    nds = ds.map_batches(normalize_text_batch, batch_format="pyarrow") \
+        .drop_columns(["n_chars_norm"])
+    pds = dedup_paragraphs(nds).drop_columns(["n_kept", "n_dropped"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        batch = token_count_batch(batch)
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(n >= 5)) \
+            .drop_columns(["n_ws_tokens"])
+
+    gds = pds.map_batches(gate, batch_format="pyarrow")
+    n_gated = gds.count()
+    n_ded = exact_dedup(gds).count()
+    final = corpus_prep(_docs(sf_dir, columns=["doc_id", "lang", "text"]),
+                        weights=_MIX_WEIGHTS, mix_seed=_MIX_SEED) \
+        .to_pandas()
+    return pd.DataFrame({
+        "stage_idx": np.arange(5, dtype=np.int64),
+        "stage": ["input", "token_gate", "exact_dedup", "epoch_rows",
+                  "sequences"],
+        "n": np.array([n_input, n_gated, n_ded, len(final),
+                       final["seq_id"].nunique()], dtype=np.int64),
+    })
+
+
 _EXACTK_SEED = 17
 
 
@@ -1662,6 +1702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_quantized": _q_knn_ivf_quantized,
         "table_profile": _q_table_profile,
         "value_outliers": _q_value_outliers,
+        "prep_report": _q_prep_report,
     }
 
 
@@ -2463,18 +2504,17 @@ def _shuffle_oracle_sql() -> str:
         FROM documents"""
 
 
-def _corpus_prep_oracle_sql() -> str:
-    """The WHOLE corpus-prep chain as one SQL program: normalize ->
+def _corpus_prep_ctes() -> str:
+    """Shared CTE block for the corpus-prep chain oracles: normalize ->
     paragraph dedup -> token gate -> exact dedup -> mixture epochs ->
-    sequence packing. Each CTE mirrors the same stage's Ray kernel
-    constants (POS_BITS packing, TOKEN_RE, mixture cases, EPOCH_RADIX
-    key, 2048 budget)."""
+    packing scan (CTEs norm..p). Each CTE mirrors the same stage's Ray
+    kernel constants (POS_BITS packing, TOKEN_RE, mixture cases,
+    EPOCH_RADIX key, 2048 budget)."""
     from dqm_ray.functions.text import normalize_sql_expr
 
     norm = normalize_sql_expr("text")
     full_case, thr_case, h = _mixture_case_exprs()
-    return f"""
-        WITH norm AS (SELECT doc_id, lang, {norm} AS text
+    return f"""norm AS (SELECT doc_id, lang, {norm} AS text
                       FROM documents),
         base AS (SELECT doc_id, str_split(text, chr(10)||chr(10))
                             AS paras FROM norm),
@@ -2516,9 +2556,32 @@ def _corpus_prep_oracle_sql() -> str:
                           ROWS BETWEEN UNBOUNDED PRECEDING
                           AND 1 PRECEDING), 0) AS BIGINT)
                          AS token_offset
-              FROM s)
+              FROM s)"""
+
+
+def _corpus_prep_oracle_sql() -> str:
+    return f"""
+        WITH {_corpus_prep_ctes()}
         SELECT doc_id, lang, epoch, n_tokens, token_offset,
                CAST(token_offset // 2048 AS BIGINT) AS seq_id
+        FROM p"""
+
+
+def _prep_report_oracle_sql() -> str:
+    """Stage-retention report over the SAME chain CTEs."""
+    return f"""
+        WITH {_corpus_prep_ctes()}
+        SELECT 0 AS stage_idx, 'input' AS stage,
+               CAST(count(*) AS BIGINT) AS n FROM documents
+        UNION ALL
+        SELECT 1, 'token_gate', CAST(count(*) AS BIGINT) FROM gated
+        UNION ALL
+        SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT) FROM ded
+        UNION ALL
+        SELECT 3, 'epoch_rows', CAST(count(*) AS BIGINT) FROM m
+        UNION ALL
+        SELECT 4, 'sequences',
+               CAST(count(DISTINCT token_offset // 2048) AS BIGINT)
         FROM p"""
 
 
@@ -3048,6 +3111,7 @@ def oracle_sql() -> dict[str, str]:
                               WHERE x.doc_id % 2 = 1
                                 AND x.text = d.text)""",
         "corpus_prep": _corpus_prep_oracle_sql(),
+        "prep_report": _prep_report_oracle_sql(),
         # first-k per (user, hour window), (ts, event_id) tie order.
         "rate_limit": """
             SELECT user_id, event_id, window_start,

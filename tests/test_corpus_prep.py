@@ -141,3 +141,31 @@ def test_write_training_shards_layout(ray_session, tmp_path):
         .reset_index(drop=True)
     b = ref.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[b.columns.tolist()], b)
+
+
+def test_prep_report_counts_are_consistent(ray_session, monkeypatch,
+                                           tmp_path):
+    """Report stages are monotone where the chain only drops rows, and
+    agree with direct counts on the adversarial corpus."""
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "doc_id": np.arange(150, dtype=np.int64),
+        "lang": [["en", "de", "zh"][i % 3] for i in range(150)],
+        "text": [("tiny" if i % 10 == 9 else
+                  " ".join(rng.choice(["a1", "b2", "c3", "d4"], 12))
+                  + f" unique{i}") for i in range(150)],
+    })
+    import os
+    d = str(tmp_path)
+    df.to_parquet(os.path.join(d, "documents.parquet"))
+    rep = entry.queries()["prep_report"](d)
+    rep = rep.set_index("stage")["n"]
+    assert rep["input"] == 150
+    assert rep["token_gate"] <= rep["input"]
+    assert rep["exact_dedup"] <= rep["token_gate"]
+    assert rep["sequences"] <= rep["epoch_rows"]
+    assert rep["token_gate"] == 150 - 15      # the 'tiny' docs dropped
