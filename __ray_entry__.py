@@ -743,6 +743,16 @@ def _q_prep_report(sf_dir: str):
     })
 
 
+def _q_grouped_split(sf_dir: str):
+    """Leakage-safe 90/5/5 split: all docs of a source share a split
+    (group key = min doc_id per source, hashed like dataset_split)."""
+    from dqm_ray.functions.sampling import grouped_split
+
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+    return grouped_split(ds, group_col="source", id_col="doc_id",
+                         fractions=_SPLIT_FRACS, seed=_SPLIT_SEED)
+
+
 _EXACTK_SEED = 17
 
 
@@ -1703,6 +1713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": _q_table_profile,
         "value_outliers": _q_value_outliers,
         "prep_report": _q_prep_report,
+        "grouped_split": _q_grouped_split,
     }
 
 
@@ -2621,6 +2632,23 @@ def _exact_k_oracle_sql() -> str:
           FROM documents) WHERE rn <= 10"""
 
 
+def _grouped_split_oracle_sql() -> str:
+    from dqm_ray.functions.sampling import rate_threshold, sample_sql_hash
+
+    h = sample_sql_hash("gkey", seed=_SPLIT_SEED)
+    names = list(_SPLIT_FRACS.keys())
+    cum, whens = 0.0, []
+    for name in names[:-1]:
+        cum += _SPLIT_FRACS[name]
+        whens.append(f"WHEN {h} < {rate_threshold(cum)} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"""
+        SELECT doc_id, source, {case} AS split FROM (
+          SELECT doc_id, source,
+                 MIN(doc_id) OVER (PARTITION BY source) AS gkey
+          FROM documents)"""
+
+
 def _split_oracle_sql() -> str:
     from dqm_ray.functions.sampling import rate_threshold, sample_sql_hash
 
@@ -3112,6 +3140,9 @@ def oracle_sql() -> dict[str, str]:
                                 AND x.text = d.text)""",
         "corpus_prep": _corpus_prep_oracle_sql(),
         "prep_report": _prep_report_oracle_sql(),
+        # group key = MIN(doc_id) per source, same hash + thresholds
+        # as dataset_split -> whole groups move between splits atomically.
+        "grouped_split": _grouped_split_oracle_sql(),
         # first-k per (user, hour window), (ts, event_id) tie order.
         "rate_limit": """
             SELECT user_id, event_id, window_start,

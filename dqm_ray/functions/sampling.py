@@ -195,6 +195,46 @@ def sample_exact_k(ds, *, key_col: str, stratum_col: str, k: int,
         .groupby(stratum_col).map_groups(merge, batch_format="pandas")
 
 
+def grouped_split(ds, *, group_col: str, id_col: str, fractions: dict,
+                  seed: int = 0, split_col: str = "split"):
+    """Leakage-safe n-way split: every row of a GROUP (domain, source,
+    dedup cluster) lands in the same split, so near-duplicates inside
+    a group can never straddle train/test. The group's key is its
+    minimum ``id_col`` (computed once via a tiny groupby, broadcast as
+    a lookup), then hashed exactly like :func:`dataset_split` — string
+    group labels therefore need no cross-engine string hash, and the
+    SQL oracle reproduces the key with ``MIN(id) OVER (PARTITION BY
+    group)``."""
+    from ray.data.aggregate import Min
+
+    from dqm_ray.state.broadcast import Broadcast
+
+    rows = ds.groupby(group_col) \
+        .aggregate(Min(id_col, alias_name="gkey")).take_all()
+    gmap = {r[group_col]: int(r["gkey"]) for r in rows}
+    bc = Broadcast(gmap)
+    names = list(fractions.keys())
+    cum, edges = 0.0, []
+    for name in names[:-1]:
+        cum += fractions[name]
+        edges.append(rate_threshold(cum))
+    off = np.uint64(_offset(seed))
+    edges_np = np.array(edges, dtype=np.uint64)
+    names_np = np.array(names, dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        keys = pd.Series(g).map(bc.value).to_numpy(dtype=np.int64)
+        h = keys.view(np.uint64) * np.uint64(SAMPLE_A) + off
+        idx = np.searchsorted(edges_np, h, side="right")
+        return batch.append_column(
+            split_col, pa.array(names_np[idx], pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", num_cpus=1)
+
+
 def sample_sql_hash(key_expr: str, seed: int = 0) -> str:
     """The keyed hash as a DuckDB expression producing the same uint64
     value as the Ray side (32-bit-split mulmod so the HUGEINT product

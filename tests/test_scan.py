@@ -244,3 +244,29 @@ def test_sample_exact_k_properties(ray_session):
     ref = df.assign(_h=h).sort_values("_h").groupby("dom").head(50)
     assert set(map(tuple, a[["dom", "doc_id"]].to_numpy())) \
         == set(map(tuple, ref[["dom", "doc_id"]].to_numpy()))
+
+
+def test_grouped_split_is_leakage_safe(ray_session):
+    """Every group maps to exactly one split; distribution tracks the
+    fractions at the GROUP level; assignment is layout-invariant."""
+    import ray.data as rd
+
+    from dqm_ray.functions.sampling import grouped_split
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "doc_id": np.arange(20000, dtype=np.int64),
+        "grp": rng.integers(0, 800, 20000).astype(str),
+    })
+    F = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = grouped_split(rd.from_pandas(df).repartition(6), group_col="grp",
+                      id_col="doc_id", fractions=F, seed=9).to_pandas()
+    b = grouped_split(rd.from_pandas(df).repartition(17), group_col="grp",
+                      id_col="doc_id", fractions=F, seed=9).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True))
+    per_group = a.groupby("grp")["split"].nunique()
+    assert (per_group == 1).all()          # no group straddles splits
+    gsplit = a.groupby("grp")["split"].first().value_counts(normalize=True)
+    assert abs(gsplit["train"] - 0.8) < 0.05
