@@ -743,6 +743,37 @@ def _q_prep_report(sf_dir: str):
     })
 
 
+def _q_props_stats(sf_dir: str):
+    """Semi-structured column handling: parse the JSON props payload
+    per event (stdlib json — per-record parsing is inherent to the
+    format, the same justified-per-row class as sha256; everything
+    after extraction is vectorized partial aggregation) and aggregate
+    the extracted field per event_type."""
+    import json
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (json.loads(p)["k"] for p in
+             batch.column("props").to_pylist()),
+            dtype=np.int64, count=len(batch))
+        return pa.table({"event_type": batch.column("event_type"),
+                         "k": pa.array(ks, pa.int64())})
+
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          num_cpus=1) \
+        .groupby("event_type") \
+        .aggregate(Count(alias_name="n"),
+                   Sum("k", alias_name="sum_k"),
+                   Min("k", alias_name="min_k"),
+                   Max("k", alias_name="max_k"))
+
+
 def _q_grouped_split(sf_dir: str):
     """Leakage-safe 90/5/5 split: all docs of a source share a split
     (group key = min doc_id per source, hashed like dataset_split)."""
@@ -1714,6 +1745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": _q_value_outliers,
         "prep_report": _q_prep_report,
         "grouped_split": _q_grouped_split,
+        "props_stats": _q_props_stats,
     }
 
 
@@ -3143,6 +3175,16 @@ def oracle_sql() -> dict[str, str]:
         # group key = MIN(doc_id) per source, same hash + thresholds
         # as dataset_split -> whole groups move between splits atomically.
         "grouped_split": _grouped_split_oracle_sql(),
+        # stdlib json.loads == DuckDB json_extract for integer fields.
+        "props_stats": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS min_k,
+                   CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS max_k
+            FROM events GROUP BY event_type""",
         # first-k per (user, hour window), (ts, event_id) tie order.
         "rate_limit": """
             SELECT user_id, event_id, window_start,
