@@ -348,3 +348,30 @@ def test_value_outliers_flags_planted_anomalies(ray_session):
     # p1/p99 fences flag roughly 2% of each type
     rate = len(out) / n
     assert 0.01 < rate < 0.03
+
+
+def test_props_stats_json_extraction(ray_session, tmp_path):
+    """JSON payload extraction matches a direct parse, including
+    negative values and whitespace variations."""
+    import os
+
+    import __ray_entry__ as entry
+
+    df = pd.DataFrame({
+        "event_id": np.arange(100, dtype=np.int64),
+        "ts": pd.Timestamp("2024-01-01"),
+        "user_id": np.zeros(100, dtype=np.int64),
+        "event_type": ["a", "b"] * 50,
+        "value": np.ones(100),
+        "props": ['{"k": %d}' % (i - 50) if i % 3 else
+                  '{ "k" : %d }' % (i - 50) for i in range(100)],
+    })
+    d = str(tmp_path)
+    df.to_parquet(os.path.join(d, "events.parquet"))
+    out = entry.queries()["props_stats"](d).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    ks = np.arange(100) - 50
+    for et, sel in (("a", ks[::2]), ("b", ks[1::2])):
+        row = out[out.event_type == et].iloc[0]
+        assert row["n"] == 50 and row["sum_k"] == sel.sum()
+        assert row["min_k"] == sel.min() and row["max_k"] == sel.max()
