@@ -1031,9 +1031,14 @@ def _q_asof_prior_view(sf_dir: str):
                     tiebreak="event_id").to_pandas()
     res = out[["event_id", "event_id_r", "value"]].copy()
     res["prior_event_id"] = res["event_id_r"].fillna(-1).astype(np.int64)
-    res["prior_value"] = pd.Series(
-        np.round(res["value"].to_numpy(dtype=np.float64), 6)).fillna(-1.0)
-    return res[["event_id", "prior_event_id", "prior_value"]]
+    # Integer micro-units with round-half-AWAY (matching SQL round()):
+    # hashing a rounded float diverged from the oracle's stringification
+    # in r1/r2 even though values were exactly equal (half-even vs
+    # half-away and -0.0). Same kernel as similarity._quantize_mat.
+    v = res["value"].to_numpy(dtype=np.float64)
+    micro = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)
+    res["prior_value_micro"] = pd.Series(micro).fillna(-1).astype(np.int64)
+    return res[["event_id", "prior_event_id", "prior_value_micro"]]
 
 
 def _q_salted_group_stats(sf_dir: str):
@@ -2483,7 +2488,7 @@ def _kmeans_oracle_sql() -> str:
                      ORDER BY list_distance(e.v, {c}.c), {c}.cl) AS rn
             FROM e CROSS JOIN {c}) WHERE rn = 1)"""
     update = """(SELECT cl, list(s ORDER BY j) AS c FROM (
-             SELECT cl, j, avg(v[CAST(j AS INT)]) AS s
+             SELECT cl, j, round(avg(v[CAST(j AS INT)]), 6) AS s
              FROM {a}, unnest(range(1, 65)) t(j) GROUP BY cl, j)
            GROUP BY cl)"""
     return f"""
@@ -2642,8 +2647,12 @@ def _budget_oracle_sql() -> str:
                                 / CAST(SUM(n_chars) AS DOUBLE) AS rate
                      FROM documents GROUP BY lang),
         thr AS (SELECT lang,
-                       LEAST(CAST(floor(rate * {float(m)!r}) AS HUGEINT),
-                             CAST({m - 1} AS HUGEINT)) AS t
+                       -- unbudgeted strata: kernel falls back to rate
+                       -- 1.0 => threshold 2^64-1, not a silent drop
+                       COALESCE(
+                         LEAST(CAST(floor(rate * {float(m)!r}) AS HUGEINT),
+                               CAST({m - 1} AS HUGEINT)),
+                         CAST({m - 1} AS HUGEINT)) AS t
                 FROM tot)
         SELECT d.doc_id, d.lang, d.n_chars
         FROM documents d JOIN thr USING (lang)
@@ -2962,7 +2971,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_prior_view": """
             SELECT l.event_id,
                    CAST(COALESCE(r.event_id, -1) AS BIGINT) AS prior_event_id,
-                   COALESCE(round(r.value, 6), -1.0) AS prior_value
+                   CAST(COALESCE(round(r.value * 1e6), -1) AS BIGINT)
+                       AS prior_value_micro
             FROM (SELECT * FROM events WHERE event_type = 'click') l
             ASOF LEFT JOIN (
               -- tie contract: max event_id among equal (user_id, ts)

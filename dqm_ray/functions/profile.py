@@ -29,6 +29,10 @@ def _order_key(s: str):
     """Merge-order key for stringified min/max partials: numeric when
     parseable (so '9' < '10'), lexical otherwise (ISO timestamps sort
     chronologically)."""
+    try:  # int first: float() loses precision above 2^53
+        return (0, int(s), "")
+    except ValueError:
+        pass
     try:
         return (0, float(s), "")
     except ValueError:

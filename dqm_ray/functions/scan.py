@@ -38,10 +38,15 @@ N_BINS = 256
 
 
 def _bin_edges(ds, order_col: str):
+    """Return (lo, width), or None when the dataset is empty (an
+    upstream filter can drop every row — min/max come back None)."""
     from ray.data.aggregate import Max, Min
 
     mm = ds.aggregate(Min(order_col), Max(order_col))
-    lo, hi = mm[f"min({order_col})"], mm[f"max({order_col})"]
+    lo = None if mm is None else mm.get(f"min({order_col})")
+    hi = None if mm is None else mm.get(f"max({order_col})")
+    if lo is None or hi is None:
+        return None
     width = max((int(hi) - int(lo)) // N_BINS + 1, 1)
     return int(lo), width
 
@@ -60,7 +65,14 @@ def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
     """Append ``out_col``: sum of ``value_col`` over rows with smaller
     ``order_col`` (exclusive scan). Input column types must be
     integral."""
-    lo, width = _bin_edges(ds, order_col)
+    edges = _bin_edges(ds, order_col)
+    if edges is None:  # empty input: keep schema, emit out_col anyway
+        def empty(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                out_col, pa.array(np.zeros(len(batch), np.int64)))
+
+        return ds.map_batches(empty, batch_format="pyarrow")
+    lo, width = edges
 
     def partial(batch: pa.Table) -> pa.Table:
         k = batch.column(order_col).to_numpy(zero_copy_only=False) \

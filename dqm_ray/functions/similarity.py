@@ -42,9 +42,13 @@ class BruteForceTopK:
             batch.column(self.emb_col).to_numpy(zero_copy_only=False)))
         sim = self.q_mat @ emb.T                      # (n_q, n_batch)
         k = min(self.k, sim.shape[1])
-        top = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+        # boundary ties break (score desc, id asc) inside the partial
+        # (duplicate vectors give exact ties) — see QuantizedTopK
+        id_order = np.argsort(ids, kind="stable")
+        ids_sorted, sim = ids[id_order], sim[:, id_order]
+        top = np.argsort(-sim, axis=1, kind="stable")[:, :k]
         rows = np.repeat(self.q_ids, k)
-        cols = ids[top.ravel()]
+        cols = ids_sorted[top.ravel()]
         vals = np.take_along_axis(sim, top, axis=1).ravel()
         return pa.table({
             "query_id": pa.array(rows, pa.int64()),
@@ -193,7 +197,7 @@ def knn_ivf_index(index_dir: str, query_ids, query_mat, k: int = 10, *,
                 continue
             sim = q["mat"][qi] @ emb[mask].T
             kk = min(k, int(mask.sum()))
-            top = np.argpartition(-sim, kk - 1)[:kk]
+            top = np.lexsort((ids[mask], -sim))[:kk]  # ties: id asc
             outs.append(pa.table({
                 "query_id": pa.array(np.full(kk, q["ids"][qi]), pa.int64()),
                 id_col: pa.array(ids[mask][top].astype(np.int64)),
@@ -255,7 +259,7 @@ def knn_ivf(ds, query_ids, query_mat, k: int = 10, *, n_centroids: int = 16,
                 sub = emb[mask]
                 sim = self.q_mat[qi] @ sub.T
                 kk = min(self.k, len(sub))
-                top = np.argpartition(-sim, kk - 1)[:kk]
+                top = np.lexsort((ids[mask], -sim))[:kk]  # ties: id asc
                 outs.append(pa.table({
                     "query_id": pa.array(
                         np.full(kk, self.q_ids[qi]), pa.int64()),
@@ -418,7 +422,11 @@ def kmeans_embeddings(ds, *, k: int = 8, iters: int = 3,
         sums = np.stack([np.stack(grp["vsum"].to_numpy()).sum(axis=0)
                          for _, grp in g])
         counts = g["n"].sum().to_numpy().astype(np.int64)
-        cent = sums / counts[:, None]
+        # Round EVERY Lloyd update (not just the output) so the next
+        # assignment pass sees bitwise-identical centroids on both
+        # engines — an unrounded last-ulp distance near-tie could
+        # otherwise flip an assignment vs the oracle's avg().
+        cent = np.round(sums / counts[:, None], round_to)
 
     d = cent.shape[1]
     return pa.table({
@@ -515,9 +523,16 @@ class QuantizedTopK:
         score = (di.astype(np.float64) * sb[:, None]) * self.qs[None, :]
         sim = score.T                              # (n_q, n_batch)
         k = min(self.k, sim.shape[1])
-        top = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+        # Boundary ties must break by (score desc, id asc) INSIDE the
+        # partial too (exact ties are likely with quantized scores,
+        # e.g. di=0): pre-sort columns by id, then a stable argsort on
+        # -score keeps the lowest ids among equals — the global tie
+        # contract, so no candidate the oracle keeps is dropped here.
+        id_order = np.argsort(ids, kind="stable")
+        ids_sorted, sim = ids[id_order], sim[:, id_order]
+        top = np.argsort(-sim, axis=1, kind="stable")[:, :k]
         rows = np.repeat(self.q_ids, k)
-        cols = ids[top.ravel()]
+        cols = ids_sorted[top.ravel()]
         vals = np.take_along_axis(sim, top, axis=1).ravel()
         return pa.table({
             "query_id": pa.array(rows, pa.int64()),
@@ -618,7 +633,8 @@ def knn_ivf_quantized(index_dir: str, query_ids, query_mat, k: int = 10,
             di = qb[mask] @ q["qq"][qi]
             s = (di.astype(np.float64) * sb[mask]) * q["qs"][qi]
             kk = min(k, int(mask.sum()))
-            top = np.argpartition(-s, kk - 1)[:kk]
+            # (score desc, id asc) inside the partial — see QuantizedTopK
+            top = np.lexsort((ids[mask], -s))[:kk]
             outs.append(pa.table({
                 "query_id": pa.array(np.full(kk, q["ids"][qi]),
                                      pa.int64()),
