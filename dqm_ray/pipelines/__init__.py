@@ -2,6 +2,8 @@ from dqm_ray.pipelines.quality import (
     build_quality_pipeline,
     finalize_batch,
     metrics_for,
+    read_partition_metrics,
+    read_stage_timings,
     run_quality_pipeline,
 )
 from dqm_ray.pipelines.checkpoint import Manifest
@@ -10,6 +12,8 @@ __all__ = [
     "build_quality_pipeline",
     "finalize_batch",
     "metrics_for",
+    "read_partition_metrics",
+    "read_stage_timings",
     "run_quality_pipeline",
     "Manifest",
 ]

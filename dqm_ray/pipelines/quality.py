@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -94,21 +95,49 @@ class QualityStage:
         self.ref_sha_column = ref_sha_column
         self.alert_dir = alert_dir
         self.scorer = ScorerStage(self.cfg) if with_scorer else None
+        # per-stage (wall_ms, rows, calls) accumulators — the opmon
+        # times_run/time_taken analog (reference
+        # schema/dqm/dqmprocessorinfo.jsonnet:18-31, measured at
+        # include/dqm/ChannelStream.hpp:106-116); drained per shard by
+        # the filewise runner into metrics/timing/*.parquet
+        self._timing: dict[str, tuple[float, int, int]] = {}
+
+    def _timed(self, name: str, fn, batch: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        out = fn(batch)
+        dt = (time.perf_counter() - t0) * 1000.0
+        ms, rows, calls = self._timing.get(name, (0.0, 0, 0))
+        self._timing[name] = (ms + dt, rows + batch.num_rows, calls + 1)
+        return out
+
+    def drain_timings(self) -> pa.Table:
+        """Return accumulated (stage, ms, rows, calls) partials and reset."""
+        items = sorted(self._timing.items())
+        self._timing = {}
+        return pa.table({
+            "stage": pa.array([k for k, _ in items], pa.string()),
+            "ms": pa.array([v[0] for _, v in items], pa.float64()),
+            "rows": pa.array([v[1] for _, v in items], pa.int64()),
+            "calls": pa.array([v[2] for _, v in items], pa.int64()),
+        })
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from dqm_ray.stages.normalize import normalize_batch
 
         cfg = self.cfg
-        b = normalize_batch(batch, cfg=cfg)
-        b = add_partition_id(b, num_partitions=cfg.num_partitions)
-        b = lineage_batch(b, ref_column=self.ref_sha_column,
-                          alert_dir=self.alert_dir,
-                          fail_fast=cfg.fail_fast_on_lineage)
-        b = heuristic_rules_batch(b, cfg=cfg)
+        b = self._timed("normalize",
+                        lambda t: normalize_batch(t, cfg=cfg), batch)
+        b = self._timed("partition", lambda t: add_partition_id(
+            t, num_partitions=cfg.num_partitions), b)
+        b = self._timed("lineage", lambda t: lineage_batch(
+            t, ref_column=self.ref_sha_column, alert_dir=self.alert_dir,
+            fail_fast=cfg.fail_fast_on_lineage), b)
+        b = self._timed("rules",
+                        lambda t: heuristic_rules_batch(t, cfg=cfg), b)
         if self.scorer is not None:
-            b = self.scorer(b)
-        b = finalize_batch(b)
-        return scrub_batch(b, cfg=cfg)
+            b = self._timed("scorer", self.scorer, b)
+        b = self._timed("finalize", finalize_batch, b)
+        return self._timed("scrub", lambda t: scrub_batch(t, cfg=cfg), b)
 
 
 # per-worker-process cache: stateful stage built once per worker and
@@ -118,8 +147,7 @@ class QualityStage:
 _STAGE_CACHE: dict = {}
 
 
-def _fused_quality_fn(batch: pa.Table, *, cfg, with_scorer,
-                      ref_sha_column, alert_dir) -> pa.Table:
+def _get_stage(cfg, with_scorer, ref_sha_column, alert_dir) -> QualityStage:
     key = (cfg, with_scorer, ref_sha_column, alert_dir)
     stage = _STAGE_CACHE.get(key)
     if stage is None:
@@ -127,7 +155,12 @@ def _fused_quality_fn(batch: pa.Table, *, cfg, with_scorer,
                              ref_sha_column=ref_sha_column,
                              alert_dir=alert_dir)
         _STAGE_CACHE[key] = stage
-    return stage(batch)
+    return stage
+
+
+def _fused_quality_fn(batch: pa.Table, *, cfg, with_scorer,
+                      ref_sha_column, alert_dir) -> pa.Table:
+    return _get_stage(cfg, with_scorer, ref_sha_column, alert_dir)(batch)
 
 
 def build_quality_pipeline(ds, cfg: QualityConfig | None = None, *,
@@ -192,25 +225,34 @@ def _process_shard_batch(batch: pa.Table, *, out_dir: str, metrics_dir,
     import pyarrow.parquet as pq
 
     paths = batch.column("path").to_pylist()
+    stage = _get_stage(cfg, with_scorer, ref_sha_column, alert_dir)
     out_rows = {"shard": [], "rows": [], "kept": [], "bytes": []}
     for path in paths:
+        stage.drain_timings()  # zero counters a crashed task may have left
         table = pq.read_table(path)
         outs = []
         for off in range(0, table.num_rows, cfg.rule_batch_size):
-            b = table.slice(off, cfg.rule_batch_size)
-            outs.append(_fused_quality_fn(
-                b, cfg=cfg, with_scorer=with_scorer,
-                ref_sha_column=ref_sha_column, alert_dir=alert_dir))
+            outs.append(stage(table.slice(off, cfg.rule_batch_size)))
         result = pa.concat_tables(outs).drop_columns(
             ["is_empty", "has_autogen"])
+        timing = stage.drain_timings()
+        total_ms = float(pa.compute.sum(timing.column("ms")).as_py() or 0.0)
         shard = os.path.basename(path).rsplit(".", 1)[0]
         os.makedirs(out_dir, exist_ok=True)
         if metrics_dir is not None:
             # metrics BEFORE the data rename (the completion marker): a
             # crash in between reruns the shard and overwrites them
             os.makedirs(metrics_dir, exist_ok=True)
-            pq.write_table(metrics_partial_batch(result),
-                           os.path.join(metrics_dir, f"{shard}.parquet"))
+            pq.write_table(
+                _with_stage_ms(metrics_partial_batch(result), total_ms),
+                os.path.join(metrics_dir, f"{shard}.parquet"))
+            # exact per-stage breakdown (opmon time_taken parity)
+            tdir = os.path.join(metrics_dir, "timing")
+            os.makedirs(tdir, exist_ok=True)
+            pq.write_table(
+                timing.append_column("shard", pa.array(
+                    [shard] * timing.num_rows, pa.string())),
+                os.path.join(tdir, f"{shard}.parquet"))
         tmp = os.path.join(out_dir, f".{shard}.tmp")
         pq.write_table(result, tmp)
         os.replace(tmp, os.path.join(out_dir, f"{shard}.parquet"))
@@ -267,19 +309,50 @@ def run_quality_filewise(input_paths: list[str], out_dir: str,
     return stats
 
 
+def _with_stage_ms(partial: pa.Table, total_ms: float) -> pa.Table:
+    """Apportion a unit of chain wall-ms over the partial's partitions
+    by row share — per-partition cost attribution whose sum over all
+    partials is exactly the measured total."""
+    rows = partial.column("rows").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    share = rows / rows.sum() if rows.sum() else rows
+    return partial.append_column(
+        "stage_ms", pa.array(total_ms * share, pa.float64()))
+
+
 def read_partition_metrics(out_dir: str):
     """The per-partition opmon table of a finished run — identical shape
     for both runners: sum the per-shard/per-group partial counters under
-    ``out_dir/metrics`` by partition_id."""
+    ``out_dir/metrics`` by partition_id. ``stage_ms`` is the chain
+    wall-ms attributed to the partition (by row share within each
+    shard/group partial)."""
     import pyarrow.parquet as pq
 
     mdir = os.path.join(out_dir, "metrics")
     files = sorted(os.path.join(mdir, f) for f in os.listdir(mdir)
                    if f.endswith(".parquet"))
     t = pa.concat_tables([pq.read_table(f) for f in files])
-    df = t.to_pandas().groupby("partition_id", as_index=False)[
-        ["rows", "kept", "scrubbed", "bytes"]].sum()
+    cols = ["rows", "kept", "scrubbed", "bytes"]
+    if "stage_ms" in t.column_names:
+        cols.append("stage_ms")
+    df = t.to_pandas().groupby("partition_id", as_index=False)[cols].sum()
     return df.sort_values("partition_id").reset_index(drop=True)
+
+
+def read_stage_timings(out_dir: str):
+    """Per-stage wall-time totals of a filewise run (opmon
+    times_run/time_taken parity, schema/dqm/dqmprocessorinfo.jsonnet:18-31):
+    sum the per-shard (stage, ms, rows, calls) partials under
+    ``out_dir/metrics/timing``."""
+    import pyarrow.parquet as pq
+
+    tdir = os.path.join(out_dir, "metrics", "timing")
+    files = sorted(os.path.join(tdir, f) for f in os.listdir(tdir)
+                   if f.endswith(".parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    df = t.to_pandas().groupby("stage", as_index=False)[
+        ["ms", "rows", "calls"]].sum()
+    return df.sort_values("stage").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -351,6 +424,7 @@ def run_quality_pipeline(input_paths: list[str], out_dir: str,
                len(input_paths) - len(pending), "rows": 0, "kept": 0}
 
     for gi in range(0, len(pending), gs):
+        t_group = time.perf_counter()
         group = pending[gi:gi + gs]
         group_id = f"group-{names[group[0]].rsplit('.', 1)[0]}"
         ds = rd.read_parquet(group)
@@ -375,6 +449,10 @@ def run_quality_pipeline(input_paths: list[str], out_dir: str,
                                  columns=["partition_id", "keep", "scrubbed",
                                           "n_chars"])
         m = metrics_for(out_ds).to_pandas()
+        # driver-measured group wall-ms (read→chain→write), apportioned
+        # by row share — the group runner's time_taken granularity
+        group_ms = (time.perf_counter() - t_group) * 1000.0
+        m["stage_ms"] = group_ms * m["rows"] / max(int(m["rows"].sum()), 1)
         if write_metrics:
             mdir = os.path.join(out_dir, "metrics")
             os.makedirs(mdir, exist_ok=True)

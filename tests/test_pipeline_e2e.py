@@ -183,6 +183,7 @@ def test_filewise_metrics_match_pipeline_runner(ray_session, small_cfg,
     group runner report the SAME per-partition metrics table."""
     from dqm_ray.corpus import write_corpus
     from dqm_ray.pipelines.quality import (read_partition_metrics,
+                                           read_stage_timings,
                                            run_quality_filewise,
                                            run_quality_pipeline)
 
@@ -194,5 +195,19 @@ def test_filewise_metrics_match_pipeline_runner(ray_session, small_cfg,
                          group_size=2)
     a = read_partition_metrics(str(tmp_path / "fw"))
     b = read_partition_metrics(str(tmp_path / "gr"))
-    assert a.to_dict("records") == b.to_dict("records")
+    counters = ["partition_id", "rows", "kept", "scrubbed", "bytes"]
+    assert a[counters].to_dict("records") == b[counters].to_dict("records")
     assert a["rows"].sum() == 400
+    # stage_ms: wall-time attribution is runner-specific (exact chain ms
+    # filewise; group wall ms grouped) but always present and positive
+    assert a["stage_ms"].sum() > 0 and b["stage_ms"].sum() > 0
+
+    # per-stage opmon breakdown (filewise): every stage saw every row,
+    # partials sum to totals, and the attributed per-partition stage_ms
+    # equals the summed scheduled chain time
+    t = read_stage_timings(str(tmp_path / "fw"))
+    assert set(t["stage"]) == {"normalize", "partition", "lineage",
+                               "rules", "scorer", "finalize", "scrub"}
+    assert (t["rows"] == 400).all()
+    assert (t["ms"] > 0).all()
+    assert abs(a["stage_ms"].sum() - t["ms"].sum()) < 1e-6
