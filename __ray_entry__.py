@@ -1573,8 +1573,8 @@ def _q_top_terms(sf_dir: str):
 def _q_boilerplate_lines(sf_dir: str):
     """C4/RefinedWeb-style line-level boilerplate removal over the
     synthetic code corpus (template-heavy: license banners and nav
-    chrome repeat across files) — 3-pass count/verify/clean shape, see
-    dqm_ray/functions/boilerplate.py."""
+    chrome repeat across files) — 2-content-pass count/clean shape with
+    128-bit fingerprints, see dqm_ray/functions/boilerplate.py."""
     import ray.data as rd
 
     from dqm_ray.functions.boilerplate import remove_boilerplate_lines

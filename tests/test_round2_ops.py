@@ -58,6 +58,26 @@ def test_boilerplate_removes_frequent_lines(ray_session):
     assert out.loc[14, "text"] == "" and out.loc[14, "n_removed"] == 0
 
 
+def test_boilerplate_bucketed_matches_broadcast(ray_session, tmp_path):
+    """Zero-broadcast bucketed clean == broadcast clean, row for row
+    (the paragraphs-bucketed parity pattern)."""
+    from dqm_ray.functions.boilerplate import (
+        remove_boilerplate_lines, remove_boilerplate_lines_bucketed)
+
+    tbl, _, _ = _docs_with_boilerplate()
+    a = remove_boilerplate_lines(
+        _ds(tbl), text_col="text", id_col="doc_id",
+        min_len=10, min_docs=10).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = remove_boilerplate_lines_bucketed(
+        _ds(tbl), str(tmp_path / "bp"), text_col="text",
+        id_col="doc_id", min_len=10, min_docs=10,
+        num_buckets=4, num_parts=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (b["n_removed"].to_numpy()[:12] == 2).all()
+
+
 def test_boilerplate_noop_below_threshold(ray_session):
     from dqm_ray.functions.boilerplate import remove_boilerplate_lines
 
