@@ -74,25 +74,41 @@ class MediaDecodeStage:
                 "no image/audio codec library available; install one or "
                 "run with strict=False (deterministic fake features)")
 
-    def _fake_features(self, payload: bytes) -> np.ndarray:
-        # FAKE decode: 16-bin byte histogram, normalized — deterministic,
-        # exercises the full distributed path without codec libs.
-        arr = np.frombuffer(payload, dtype=np.uint8)
-        hist = np.bincount(arr >> 4, minlength=self.FEAT_DIM).astype(np.float64)
-        return hist / max(1, len(arr))
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch.column("payload").to_pylist()
-        feats = np.stack([self._fake_features(p) for p in payloads])
+        # FAKE decode: 16-bin byte histogram per payload, normalized —
+        # ONE vectorized pass over the column's concatenated data buffer
+        # (zero-copy; no per-row to_pylist). Template for a real decoder:
+        # only the codec call itself is legitimately per-row.
+        col = batch.column("payload").combine_chunks()
+        n = len(col)
+        off = np.frombuffer(col.buffers()[1], np.int64)[
+            col.offset:col.offset + n + 1]
+        dbuf = col.buffers()[2]
+        buf = (np.frombuffer(dbuf, np.uint8) if dbuf is not None
+               else np.empty(0, np.uint8))
+        nb = np.diff(off)
+        if nb.sum():
+            row = np.repeat(np.arange(n, dtype=np.int64), nb)
+            nib = (buf[off[0]:off[-1]] >> 4).astype(np.int64)
+            hist = np.bincount(row * self.FEAT_DIM + nib,
+                               minlength=n * self.FEAT_DIM) \
+                .reshape(n, self.FEAT_DIM)
+        else:
+            hist = np.zeros((n, self.FEAT_DIM), np.int64)
+        feats = hist.astype(np.float64) \
+            / np.maximum(nb, 1)[:, None].astype(np.float64)
         # checksum over the UPPERCASE-HEX encoding of the payload (not
         # the raw bytes): same integrity property, and computable by SQL
-        # engines whose sha256 takes strings only (sha256(hex(payload)))
-        checks = [hashlib.sha256(p.hex().upper().encode()).hexdigest()[:16]
-                  for p in payloads]
+        # engines whose sha256 takes strings only (sha256(hex(payload))).
+        # sha256 is the legitimately per-row step; slices view the shared
+        # buffer (no payload copy besides the hex transform itself).
+        checks = [hashlib.sha256(
+            buf[s:e].tobytes().hex().upper().encode()).hexdigest()[:16]
+            for s, e in zip(off[:-1], off[1:])]
         return pa.table({
             "media_id": batch.column("media_id"),
             "kind": batch.column("kind"),
-            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            "n_bytes": pa.array(nb, pa.int64()),
             "checksum": pa.array(checks, pa.string()),
             "feat": pa.array(list(feats),
                              pa.list_(pa.float64(), self.FEAT_DIM)),
@@ -113,23 +129,41 @@ class FrameSampleStage:
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        media_ids, frame_idx, feats = [], [], []
-        kinds = batch.column("kind").to_pylist()
-        ids = batch.column("media_id").to_pylist()
-        payloads = batch.column("payload").to_pylist()
-        for mid, kind, payload in zip(ids, kinds, payloads):
-            if kind != "video":
-                continue
-            arr = np.frombuffer(payload, dtype=np.uint8)
-            # fake "frames": equal byte slices; feature = slice mean
-            slices = np.array_split(arr, self.n_frames)
-            for fi, s in enumerate(slices):
-                media_ids.append(mid)
-                frame_idx.append(fi)
-                feats.append(float(s.mean()) if len(s) else 0.0)
+        import pyarrow.compute as pc
+
+        vids = batch.filter(pc.equal(batch.column("kind"), "video"))
+        n, nf = vids.num_rows, self.n_frames
+        if n == 0:
+            return pa.table({
+                "media_id": pa.array([], pa.int64()),
+                "frame_idx": pa.array([], pa.int32()),
+                "frame_feature": pa.array([], pa.float64())})
+        col = vids.column("payload").combine_chunks()
+        off = np.frombuffer(col.buffers()[1], np.int64)[
+            col.offset:col.offset + n + 1]
+        dbuf = col.buffers()[2]
+        buf = (np.frombuffer(dbuf, np.uint8) if dbuf is not None
+               else np.empty(0, np.uint8))
+        ln = np.diff(off)
+        # fake "frames": np.array_split boundaries (first L%nf slices one
+        # byte longer); feature = slice mean via one prefix-sum pass.
+        # cumsum is int64 over a uint8 buffer (8x temp) — fine at the
+        # small media batch sizes this stage mandates.
+        k = np.arange(nf + 1, dtype=np.int64)
+        bounds = off[:-1, None] + k[None, :] * (ln[:, None] // nf) \
+            + np.minimum(k[None, :], (ln % nf)[:, None])
+        starts, ends = bounds[:, :-1].ravel(), bounds[:, 1:].ravel()
+        sizes = ends - starts
+        csum = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
+        sums = csum[ends] - csum[starts]
+        feats = np.where(sizes > 0,
+                         sums / np.maximum(sizes, 1).astype(np.float64),
+                         0.0)
+        ids = vids.column("media_id").to_numpy(zero_copy_only=False)
         return pa.table({
-            "media_id": pa.array(media_ids, pa.int64()),
-            "frame_idx": pa.array(frame_idx, pa.int32()),
+            "media_id": pa.array(np.repeat(ids, nf), pa.int64()),
+            "frame_idx": pa.array(np.tile(np.arange(nf, dtype=np.int32),
+                                          n), pa.int32()),
             "frame_feature": pa.array(feats, pa.float64()),
         })
 

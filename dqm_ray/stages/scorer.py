@@ -87,12 +87,29 @@ class ScorerStage:
         self.cfg = cfg or QualityConfig()
         # once-per-actor state (T1 analog): bigram model + marker tables.
         # Model source precedence: explicit text > external artifact file
-        # (cfg.model_path — the ChannelMapFiller external-fill analog) >
-        # deterministic built-in corpus.
+        # (cfg.model_path — the ChannelMapFiller external-fill analog;
+        # magic-sniffed: DQMB binary matrix / fastText / KenLM / UTF-8
+        # training text, see state/model_artifact.py) > deterministic
+        # built-in corpus.
         if model_text is None and self.cfg.model_path is not None:
-            with open(self.cfg.model_path, encoding="utf-8") as fh:
-                model_text = fh.read()
-        self.model = VectorBigramModel(model_text or training_text())
+            from dqm_ray.state.model_artifact import (BigramArtifact,
+                                                      TrainingText,
+                                                      load_model_artifact)
+
+            art = load_model_artifact(self.cfg.model_path)
+            if isinstance(art, BigramArtifact):
+                if art.log_p.shape[0] != VectorBigramModel.V:
+                    raise ValueError(
+                        f"DQMB alphabet {art.log_p.shape[0]} != scorer "
+                        f"alphabet {VectorBigramModel.V}")
+                self.model = VectorBigramModel.__new__(VectorBigramModel)
+                self.model.log_p = art.log_p
+            elif isinstance(art, TrainingText):
+                self.model = VectorBigramModel(art.text)
+            else:  # wheel-backed model object (fasttext/kenlm)
+                self.model = art
+        else:
+            self.model = VectorBigramModel(model_text or training_text())
         self.lang_names = list(LANG_MARKERS.keys())
         self.lang_index = {l: i for i, l in enumerate(self.lang_names)}
         # one RE2 alternation per lang instead of one scan per marker

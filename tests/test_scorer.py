@@ -63,6 +63,82 @@ def test_separation_margin(corpus_table, cfg, stage):
     assert soup.min() > cfg.max_log_ppl + 0.2
 
 
+def test_binary_model_artifact_roundtrip(ray_session, tmp_path):
+    """The production artifact shape: a BINARY serialized model (DQMB)
+    in the cfg.model_path slot, loaded once per actor — scores must be
+    bitwise identical to the in-memory model it was saved from."""
+    import ray.data as rd
+
+    from dqm_ray.config import QualityConfig
+    from dqm_ray.corpus import generate_corpus
+    from dqm_ray.pipelines.quality import build_quality_pipeline
+    from dqm_ray.stages.scorer import VectorBigramModel
+    from dqm_ray.state.model_artifact import save_bigram_artifact
+
+    src = VectorBigramModel("zq xv qz vx " * 2000)
+    artifact = tmp_path / "model.dqmb"
+    save_bigram_artifact(str(artifact), src.log_p)
+
+    table = generate_corpus(120, seed=29).drop_columns(["pattern"])
+    cfg = QualityConfig(model_path=str(artifact), scorer_concurrency=2)
+    out = build_quality_pipeline(rd.from_arrow(table), cfg).to_pandas()
+    # same scores as constructing the stage with the source model text
+    cfg2 = QualityConfig(scorer_concurrency=2)
+    from dqm_ray.stages.scorer import ScorerStage
+
+    stage = ScorerStage(cfg2, model_text="zq xv qz vx " * 2000)
+    import pyarrow as pa
+
+    from dqm_ray.stages.normalize import normalize_batch
+
+    ref = stage(normalize_batch(table, cfg=cfg2))
+    key = ["repo", "path", "commit"]
+    out = out.sort_values(key).reset_index(drop=True)
+    ref_df = ref.to_pandas().sort_values(key).reset_index(drop=True)
+    assert (out["log_ppl"].to_numpy()
+            == ref_df["log_ppl"].to_numpy()).all()
+
+
+def test_fasttext_kenlm_layouts_recognized(tmp_path):
+    """The committed fixtures carry the REAL public binary layouts;
+    without the wheels the loader must parse the headers and raise an
+    actionable NotImplementedError — not misread them as training
+    text (which would silently mis-score)."""
+    import os
+
+    import pytest
+
+    from dqm_ray.state.model_artifact import (load_model_artifact,
+                                              parse_fasttext_header)
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    ft = os.path.join(fix, "tiny_fasttext.bin")
+    with pytest.raises(NotImplementedError, match="fastText"):
+        load_model_artifact(ft)
+    with open(ft, "rb") as fh:
+        hdr = parse_fasttext_header(fh.read(512))
+    assert hdr["magic"] == 793712314 and hdr["version"] == 12
+    assert hdr["dim"] == 16 and hdr["model"] == 3  # supervised (lid shape)
+    assert abs(hdr["t"] - 1e-4) < 1e-12
+
+    with pytest.raises(NotImplementedError, match="KenLM.*version 5"):
+        load_model_artifact(os.path.join(fix, "tiny_kenlm.bin"))
+
+
+def test_scorer_rejects_wrong_alphabet_artifact(tmp_path):
+    import numpy as np
+    import pytest
+
+    from dqm_ray.config import QualityConfig
+    from dqm_ray.stages.scorer import ScorerStage
+    from dqm_ray.state.model_artifact import save_bigram_artifact
+
+    bad = tmp_path / "bad.dqmb"
+    save_bigram_artifact(str(bad), np.zeros((64, 64)))
+    with pytest.raises(ValueError, match="alphabet"):
+        ScorerStage(QualityConfig(model_path=str(bad)))
+
+
 def test_external_model_artifact_injection(ray_session, tmp_path):
     """Dropping in an external model artifact (a file the actor loads
     once in __init__) changes scoring end-to-end — the ChannelMapFiller

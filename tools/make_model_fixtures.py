@@ -1,0 +1,49 @@
+"""Generate the tiny committed model-artifact fixtures under
+tests/fixtures/ — byte-for-byte the PUBLIC header layouts of fastText
+``.bin`` and KenLM binary models (truncated bodies: enough for the
+loader's magic sniff + header parse, which is all that can run without
+the wheels). Re-run after changing dqm_ray/state/model_artifact.py.
+"""
+
+import os
+import struct
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+FIX = os.path.join(HERE, "..", "tests", "fixtures")
+
+
+def fasttext_fixture() -> bytes:
+    # int32 magic + int32 version, then Args: 12 int32 + double t
+    # (fasttext/src/{fasttext,args}.cc serialization order)
+    head = struct.pack("<ii", 793712314, 12)
+    args = struct.pack("<12i",
+                       16,   # dim
+                       5,    # ws
+                       5,    # epoch
+                       1,    # minCount
+                       5,    # neg
+                       1,    # wordNgrams
+                       1,    # loss (softmax)
+                       3,    # model (supervised — the lid.176 shape)
+                       2_000_000,  # bucket
+                       2,    # minn
+                       4,    # maxn
+                       100)  # lrUpdateRate
+    t = struct.pack("<d", 1e-4)
+    # truncated dictionary section: the loader never reads past the args
+    return head + args + t + b"\x00" * 32
+
+
+def kenlm_fixture() -> bytes:
+    magic = b"mmap lm http://kheafield.com/code format version 5\n\x00"
+    # truncated sanity block: the loader never reads past the magic
+    return magic + b"\x00" * 64
+
+
+if __name__ == "__main__":
+    os.makedirs(FIX, exist_ok=True)
+    with open(os.path.join(FIX, "tiny_fasttext.bin"), "wb") as fh:
+        fh.write(fasttext_fixture())
+    with open(os.path.join(FIX, "tiny_kenlm.bin"), "wb") as fh:
+        fh.write(kenlm_fixture())
+    print("wrote", FIX)
