@@ -188,6 +188,7 @@ def run_scaling() -> dict:
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "3"))
+    t_start = time.time()
     best_lo, best_hi = None, None
     all_lo, all_hi = [], []
     for _ in range(rounds):
@@ -200,7 +201,7 @@ def run_scaling() -> dict:
             best_hi = r_hi
     tput_lo, tput_hi = best_lo["value"], best_hi["value"]
     eff = (tput_hi / tput_lo) / (hi / lo)
-    return {
+    result = {
         "metric": f"scaling efficiency (flagship files/sec, {lo}→{hi} CPUs)",
         "value": round(eff, 3),
         "unit": "efficiency",
@@ -214,6 +215,25 @@ def run_scaling() -> dict:
         f"sec_{hi}_all": all_hi,
         "sf": SF_DIR,
     }
+    # consolidated machine-readable scaling history: every --scaling run
+    # appends its raw per-round numbers to SCALING.json, so the median
+    # across sessions is verifiable without parsing BASELINE.md prose
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "SCALING.json")
+    try:
+        with open(hist_path) as fh:
+            hist = json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        hist = []
+    hist.append(dict(result,
+                     started_at=time.strftime(
+                         "%Y-%m-%dT%H:%M:%S", time.localtime(t_start)),
+                     wall_sec=round(time.time() - t_start, 1),
+                     scale_rows=int(os.environ.get("GRAFT_SCALE_ROWS",
+                                                   "2400000"))))
+    with open(hist_path, "w") as fh:
+        json.dump(hist, fh, indent=1)
+    return result
 
 
 if __name__ == "__main__":
