@@ -1672,6 +1672,21 @@ def _q_kmeans_embeddings(sf_dir: str):
     return kmeans_embeddings(ds, k=8, iters=3)
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail quality split: per-language NTILE(3)
+    over exact integer-micro perplexity (nano-quantized char-bigram LM,
+    functions/ccnet.py) — the standard web-corpus quality partition."""
+    from dqm_ray.corpus import training_text
+    from dqm_ray.functions.ccnet import perplexity_buckets, quantize_logp
+    from dqm_ray.stages.scorer import VectorBigramModel
+
+    logq = quantize_logp(VectorBigramModel(training_text()).log_p)
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    return perplexity_buckets(ds, logq, text_col="text",
+                              lang_col="lang", id_col="doc_id",
+                              n_buckets=3)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1751,6 +1766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prep_report": _q_prep_report,
         "grouped_split": _q_grouped_split,
         "props_stats": _q_props_stats,
+        "ccnet_buckets": _q_ccnet_buckets,
     }
 
 
@@ -1766,6 +1782,60 @@ _LENS = f"list_transform({_LINES}, x -> length(x))"
 # ---------------------------------------------------------------------------
 
 _MODEL_PARQUET = os.path.join(_CACHE, "bigram_logp_v1.parquet")
+_LOGQ_PARQUET = os.path.join(_CACHE, "bigram_logq_v1.parquet")
+
+
+def _ensure_bigram_logq_parquet() -> str:
+    """The nano-quantized INTEGER twin of the model parquet (ccnet.py's
+    exactness contract: BIGINT sums instead of float SUM order)."""
+    if not os.path.exists(_LOGQ_PARQUET):
+        import pyarrow.parquet as pq
+
+        from dqm_ray.corpus import training_text
+        from dqm_ray.functions.ccnet import quantize_logp
+        from dqm_ray.stages.scorer import VectorBigramModel
+
+        logq = quantize_logp(VectorBigramModel(training_text()).log_p)
+        c1, c2 = np.meshgrid(np.arange(128), np.arange(128), indexing="ij")
+        os.makedirs(_CACHE, exist_ok=True)
+        tmp = _LOGQ_PARQUET + f".tmp{os.getpid()}"
+        pq.write_table(pa.table({
+            "c1": pa.array(c1.ravel(), pa.int32()),
+            "c2": pa.array(c2.ravel(), pa.int32()),
+            "logq": pa.array(logq.ravel(), pa.int64()),
+        }), tmp)
+        os.replace(tmp, _LOGQ_PARQUET)
+    return _LOGQ_PARQUET
+
+
+def _ccnet_oracle_sql() -> str:
+    """Per-doc exact integer perplexity (BIGINT sum of nano-quantized
+    log-probs, single identically-ordered division, half-away micro
+    rounding) + NTILE(3) by (ppl_micro, doc_id) per lang."""
+    logq = _ensure_bigram_logq_parquet()
+    return f"""
+        WITH bg AS (
+          SELECT doc_id,
+                 least(unicode(substr(text, CAST(t.i AS INT), 1)),
+                       127) AS c1,
+                 least(unicode(substr(text, CAST(t.i AS INT) + 1, 1)),
+                       127) AS c2
+          FROM documents, unnest(range(1, length(text))) AS t(i)),
+        ppl AS (
+          SELECT doc_id,
+                 CAST(round(CAST(-SUM(m.logq) AS DOUBLE)
+                            / (1000.0 * COUNT(*))) AS BIGINT) AS ppl_micro
+          FROM bg JOIN read_parquet('{logq}') m
+               ON bg.c1 = m.c1 AND bg.c2 = m.c2
+          GROUP BY doc_id),
+        alld AS (
+          SELECT d.doc_id, d.lang, COALESCE(p.ppl_micro, 0) AS ppl_micro
+          FROM documents d LEFT JOIN ppl p USING (doc_id))
+        SELECT doc_id, lang, ppl_micro,
+               CAST(ntile(3) OVER (PARTITION BY lang
+                                   ORDER BY ppl_micro, doc_id)
+                    AS BIGINT) AS bucket
+        FROM alld"""
 
 
 def _ensure_bigram_model_parquet() -> str:
@@ -3185,6 +3255,7 @@ def oracle_sql() -> dict[str, str]:
         # group key = MIN(doc_id) per source, same hash + thresholds
         # as dataset_split -> whole groups move between splits atomically.
         "grouped_split": _grouped_split_oracle_sql(),
+        "ccnet_buckets": _ccnet_oracle_sql(),
         # stdlib json.loads == DuckDB json_extract for integer fields.
         "props_stats": """
             SELECT event_type, COUNT(*) AS n,

@@ -1,0 +1,174 @@
+"""CCNet-style per-language perplexity bucketing — the standard web
+-corpus quality split (head / middle / tail by LM perplexity within
+each language, Wenzek et al. 2019) as a two-pass Ray pipeline with a
+bitwise SQL-reproducible contract.
+
+Exactness design (the repo's oracle invariant): float perplexities are
+never compared across engines. The char-bigram log-probabilities are
+quantized ONCE to integer nano-units (``logq = round(log_p * 1e9)``,
+half-away — the quantize_embeddings kernel), per-doc scores are exact
+BIGINT sums of those, and the published score is integer micro-units
+``ppl_micro = round(-sum_q / (1000 * n_bigrams))`` — every intermediate
+is either an exact integer or a single identically-ordered IEEE
+division, so DuckDB reproduces it bit for bit. Bucket assignment is
+rank-based (``NTILE(k) OVER (PARTITION BY lang ORDER BY ppl_micro,
+doc_id)``) rather than value-quantile-based, which keeps ties exact.
+
+Scale shape:
+
+1. scoring pass — ``map_batches``; the 128x128 int64 matrix broadcasts
+   once via ``ray.put``; per batch ONE utf-32 encode of the
+   concatenated texts + fancy-index + segment ``reduceat`` (the
+   scorer's vectorized shape);
+2. rank pass — the range-binned two-phase scan (scan.py's shape),
+   grouped by language: per-(lang, bin) counts to the driver (bounded:
+   n_langs x 256 ints), per-lang exclusive-scan offsets back, one
+   ``map_groups`` per (lang, bin) that sorts its slice by
+   (ppl_micro, doc_id) and assigns global ranks, then the closed-form
+   NTILE bucket. Content never shuffles; the rank shuffle carries
+   (lang, bin) keyed rows of 3 ints. Heavily-concentrated perplexity
+   distributions skew the bins — raise ``n_bins`` if a (lang, bin)
+   group outgrows a worker.
+
+Reference parity: per-channel normalization against build-once global
+state (ChannelMap probe, include/dqm/ChannelStream.hpp:169-196); the
+"state" here is the corpus's own per-lang rank structure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+V = 128
+N_BINS = 256
+
+
+def quantize_logp(log_p: np.ndarray) -> np.ndarray:
+    """Integer nano-units, round-half-away (SQL round semantics)."""
+    return (np.sign(log_p)
+            * np.floor(np.abs(log_p) * 1e9 + 0.5)).astype(np.int64)
+
+
+def _ppl_micro_many(texts: list[str], logq: np.ndarray):
+    """Exact per-doc integer perplexity: sum_q = Σ logq over the doc's
+    char bigrams (codepoints clamped to 127, the scorer's alphabet),
+    ppl_micro = round(-sum_q / (1000 * n_bigrams)) half-away; docs with
+    no bigram score 0."""
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    cp = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+    ids = np.minimum(cp, 127).astype(np.int64)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    counts = np.maximum(lens - 1, 0)
+    sums = np.zeros(n, dtype=np.int64)
+    if len(ids) >= 2:
+        q = logq[ids[:-1], ids[1:]]
+        straddle = offs[1:-1] - 1          # gram between doc i and i+1
+        q[straddle[(straddle >= 0) & (straddle < len(q))]] = 0
+        nonempty = lens > 0
+        starts = offs[:-1][nonempty]
+        if starts.size:
+            valid = starts < len(q)
+            seg = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            if valid.any():
+                seg[valid] = np.add.reduceat(q, starts[valid])
+            sums[nonempty] = seg
+    x = (-sums).astype(np.float64) / (1000.0 * np.maximum(counts, 1))
+    micro = np.floor(x + 0.5).astype(np.int64)  # x >= 0: half-away
+    return np.where(counts > 0, micro, 0)
+
+
+def _ntile(rank: np.ndarray, n: int, k: int) -> np.ndarray:
+    """Closed-form NTILE(k): 0-based rank -> 1-based bucket; the first
+    n % k buckets hold n // k + 1 rows (the SQL standard)."""
+    big, r = n // k + 1, n % k
+    head = rank < r * big
+    small = max(n // k, 1)
+    return np.where(head, rank // big,
+                    r + (rank - r * big) // small).astype(np.int64) + 1
+
+
+def perplexity_buckets(ds, logq: np.ndarray, *, text_col: str = "text",
+                       lang_col: str = "lang", id_col: str = "doc_id",
+                       n_buckets: int = 3, n_bins: int = N_BINS):
+    """Return (id_col, lang, ppl_micro, bucket): bucket 1 = head
+    (lowest perplexity) ... ``n_buckets`` = tail, per language."""
+    import ray
+
+    logq_ref = ray.put(np.ascontiguousarray(logq, dtype=np.int64))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lq = ray.get(logq_ref)
+        texts = batch.column(text_col).to_pylist()
+        micro = _ppl_micro_many([t or "" for t in texts], lq)
+        return pa.table({
+            id_col: batch.column(id_col),
+            lang_col: batch.column(lang_col),
+            "ppl_micro": pa.array(micro, pa.int64()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow", num_cpus=1)
+
+    from dqm_ray.functions.scan import _bin_edges, _bin_of
+
+    edges = _bin_edges(scored, "ppl_micro")
+    if edges is None:
+        return scored.map_batches(
+            lambda t: t.append_column(
+                "bucket", pa.array(np.zeros(len(t), np.int64))),
+            batch_format="pyarrow")
+    lo, width = edges
+    width = max((width * N_BINS) // n_bins + 1, 1) if n_bins != N_BINS \
+        else width
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        m = batch.column("ppl_micro").to_numpy(zero_copy_only=False)
+        langs = batch.column(lang_col).to_numpy(zero_copy_only=False)
+        b = _bin_of(m.astype(np.int64), lo, width)
+        df = pd.DataFrame({"lang": langs, "bin": b})
+        g = df.groupby(["lang", "bin"], sort=False).size().reset_index()
+        return pa.table({
+            lang_col: pa.array(g["lang"].to_numpy(dtype=object),
+                               pa.string()),
+            "bin": pa.array(g["bin"].to_numpy(), pa.int64()),
+            "c": pa.array(g[0].to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    # bounded driver artifact: n_langs x n_bins counters
+    rows = scored.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby([lang_col, "bin"]).aggregate(Sum("c", alias_name="c")) \
+        .take_all()
+    per_lang: dict[str, np.ndarray] = {}
+    for r in rows:
+        arr = per_lang.setdefault(r[lang_col], np.zeros(n_bins, np.int64))
+        arr[int(r["bin"])] = int(r["c"])
+    offsets = {l: np.concatenate(([0], np.cumsum(a)[:-1]))
+               for l, a in per_lang.items()}
+    totals = {l: int(a.sum()) for l, a in per_lang.items()}
+    off_ref = ray.put((offsets, totals))
+
+    def add_bin(batch: pa.Table) -> pa.Table:
+        m = batch.column("ppl_micro").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bin", pa.array(_bin_of(m.astype(np.int64), lo, width),
+                            pa.int64()))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        offs, tots = ray.get(off_ref)
+        lang, b = df[lang_col].iloc[0], int(df["bin"].iloc[0])
+        df = df.sort_values(["ppl_micro", id_col],
+                            kind="mergesort").reset_index(drop=True)
+        rank = offs[lang][b] + np.arange(len(df), dtype=np.int64)
+        df["bucket"] = _ntile(rank, tots[lang], n_buckets)
+        return df.drop(columns=["bin"])
+
+    return scored.map_batches(add_bin, batch_format="pyarrow") \
+        .groupby([lang_col, "bin"]) \
+        .map_groups(assign, batch_format="pandas")

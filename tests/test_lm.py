@@ -74,3 +74,57 @@ def test_trained_model_feeds_the_scorer(ray_session):
     good, bad = m.log_ppl_many(["the quick brown fox",
                                 "zzqqjjxx~~##@@!!"])
     assert good < bad
+
+
+def test_ntile_formula_matches_duckdb():
+    """ccnet._ntile == SQL NTILE for every (n, k) small case."""
+    import duckdb
+
+    from dqm_ray.functions.ccnet import _ntile
+
+    con = duckdb.connect()
+    for n in [1, 2, 3, 4, 5, 7, 10, 11]:
+        for k in [1, 2, 3, 4, 5]:
+            sql = con.execute(
+                f"SELECT ntile({k}) OVER (ORDER BY r) FROM "
+                f"range({n}) t(r)").fetchnumpy()
+            got = _ntile(np.arange(n, dtype=np.int64), n, k)
+            assert (got == next(iter(sql.values()))).all(), (n, k)
+
+
+def test_perplexity_buckets_end_to_end(ray_session):
+    """Head bucket holds the lowest-perplexity docs per lang; bucket
+    sizes follow NTILE; ppl_micro matches a direct integer rescore."""
+    import ray.data as rd
+
+    from dqm_ray.functions.ccnet import (_ppl_micro_many,
+                                         perplexity_buckets,
+                                         quantize_logp)
+    from dqm_ray.stages.scorer import VectorBigramModel
+
+    model = VectorBigramModel("the quick brown fox jumps over " * 500)
+    logq = quantize_logp(model.log_p)
+    texts = (["the quick brown fox"] * 4          # low ppl
+             + ["zzqq##~~!! weird @@"] * 4        # high ppl
+             + ["over the fox jumps"] * 3)
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "lang": ["en"] * len(texts),
+        "text": texts,
+    })
+    out = perplexity_buckets(rd.from_pandas(df), logq,
+                             n_buckets=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == len(texts)
+    micro = _ppl_micro_many(texts, logq)
+    assert (out["ppl_micro"].to_numpy() == micro).all()
+    # 11 rows, 3 buckets -> sizes 4/4/3 (NTILE), ordered by ppl
+    sizes = out["bucket"].value_counts().sort_index()
+    assert sizes.tolist() == [4, 4, 3]
+    by_bucket = out.groupby("bucket")["ppl_micro"]
+    assert by_bucket.max()[1] <= by_bucket.min()[2]
+    assert by_bucket.max()[2] <= by_bucket.min()[3]
+    # the weird-charset docs rank last; NTILE's doc_id tiebreak puts
+    # doc 4 at rank 7 (closing bucket 2) and docs 5-7 in the tail
+    assert out.loc[4, "bucket"] == 2
+    assert (out.loc[5:7, "bucket"] == 3).all()
