@@ -914,6 +914,34 @@ def _q_incremental_dedup(sf_dir: str):
     return out.select_columns(["doc_id", "n_chars"])
 
 
+def _q_incremental_neardup(sf_dir: str):
+    """Incremental NEAR-dup ingest: evens = prior corpus -> persisted
+    MinHash band+signature index; odds = new crawl, dropping docs with
+    a verified (sig-Jaccard >= 0.8) near-duplicate in the index. Same
+    minhash constants as minhash_dedup, so the oracle reuses its
+    bitwise signature CTEs with an evens-vs-odds candidate join."""
+    import pyarrow.compute as pc
+
+    from dqm_ray.functions.incremental import (build_neardup_index,
+                                               incremental_neardup)
+
+    base = os.path.join(_CACHE, "neardx_" +
+                        hashlib.sha256(sf_dir.encode()).hexdigest()[:12])
+
+    def parity(ds, rem):
+        return ds.map_batches(
+            lambda b, r=rem: b.filter(pc.equal(
+                pc.bit_wise_and(b.column("doc_id"), 1), r)),
+            batch_format="pyarrow")
+
+    prior = parity(_docs(sf_dir, columns=["doc_id", "text"]), 0)
+    build_neardup_index(prior, base)
+    new = parity(_docs(sf_dir, columns=["doc_id", "text", "lang",
+                                        "n_chars"]), 1)
+    out = incremental_neardup(new, base)
+    return out.select_columns(["doc_id", "lang", "n_chars"])
+
+
 _SHUF_SEED = 3
 
 
@@ -1767,6 +1795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_split": _q_grouped_split,
         "props_stats": _q_props_stats,
         "ccnet_buckets": _q_ccnet_buckets,
+        "incremental_neardup": _q_incremental_neardup,
     }
 
 
@@ -2094,16 +2123,15 @@ def _ensure_minhash_perms_parquet() -> str:
     return _MINHASH_PERMS_PARQUET
 
 
-def _minhash_oracle_sql(num_perm: int = 128, bands: int = 16, k: int = 5,
-                        threshold: float = 0.8) -> str:
-    """The ENTIRE MinHash+LSH dedup chain re-derived in SQL: byte
-    k-gram rolling hashes → per-permutation minima (permutation table
-    registered as parquet) → per-band polynomial hashes → bucket keys →
-    candidate pairs → signature-Jaccard filter → connected components as
-    a recursive transitive closure with min-label. Every mod-2^64
-    wraparound is reproduced with HUGEINT arithmetic (32-bit-split
-    products where a full 64x64 multiply could exceed 2^127), so the
-    result is bitwise-identical to the Ray path, not approximate."""
+def _minhash_sig_ctes(num_perm: int = 128, bands: int = 16,
+                      k: int = 5) -> str:
+    """The shared MinHash CTE block (``bytes`` … ``buck``): byte k-gram
+    rolling hashes → per-permutation minima (permutation table
+    registered as parquet) → per-band polynomial hashes → bucket keys.
+    Every mod-2^64 wraparound is reproduced with HUGEINT arithmetic
+    (32-bit-split products where a full 64x64 multiply could exceed
+    2^127), so both consumers (minhash_dedup, incremental_neardup) are
+    bitwise-identical to the Ray path, not approximate."""
     from dqm_ray.functions.dedup import _POLY_P
 
     P, M = int(_POLY_P), 1 << 64
@@ -2122,8 +2150,7 @@ def _minhash_oracle_sql(num_perm: int = 128, bands: int = 16, k: int = 5,
     bh_term = (f"((CAST(s >> 32 AS HUGEINT) * (CASE j % {rpb} {cases_hi}) "
                f"+ CAST(s & 4294967295 AS HUGEINT) * "
                f"(CASE j % {rpb} {cases_lo})) % {M})")
-    return f"""
-        WITH RECURSIVE bytes AS MATERIALIZED (
+    return f"""bytes AS MATERIALIZED (
           SELECT doc_id, t.i, length(text) AS L,
                  unicode(substr(text, CAST(t.i AS INT), 1)) AS b0
           FROM documents, unnest(range(1, length(text)+1)) t(i)
@@ -2160,7 +2187,17 @@ def _minhash_oracle_sql(num_perm: int = 128, bands: int = 16, k: int = 5,
             CAST((CAST(bh AS HUGEINT) + CAST(band AS HUGEINT) * {GOLD}) % {M}
                  AS UBIGINT) AS bucket_key
           FROM bandh
-        ),
+        )"""
+
+
+def _minhash_oracle_sql(num_perm: int = 128, bands: int = 16, k: int = 5,
+                        threshold: float = 0.8) -> str:
+    """The ENTIRE MinHash+LSH dedup chain in SQL: the shared signature
+    CTEs (_minhash_sig_ctes) → candidate pairs → signature-Jaccard
+    filter → connected components as a recursive transitive closure
+    with min-label."""
+    return f"""
+        WITH RECURSIVE {_minhash_sig_ctes(num_perm, bands, k)},
         cand AS (
           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
           FROM buck x JOIN buck y
@@ -2187,6 +2224,35 @@ def _minhash_oracle_sql(num_perm: int = 128, bands: int = 16, k: int = 5,
         )
         SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS dup_group
         FROM reach GROUP BY n"""
+
+
+def _incremental_neardup_oracle_sql(num_perm: int = 128, bands: int = 16,
+                                    k: int = 5,
+                                    threshold: float = 0.8) -> str:
+    """Evens-vs-odds split over the same bitwise signature CTEs: an odd
+    (ingest) doc is dropped iff it shares a band bucket with an even
+    (index) doc AND the verified signature Jaccard crosses the
+    threshold."""
+    return f"""
+        WITH {_minhash_sig_ctes(num_perm, bands, k)},
+        cand AS (
+          SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+          FROM buck x JOIN buck y ON x.bucket_key = y.bucket_key
+          WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+        ),
+        est AS (
+          SELECT cd.new_id, cd.old_id,
+                 SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END)
+                   / {float(num_perm)} AS e
+          FROM cand cd
+          JOIN sigv sa ON sa.doc_id = cd.new_id
+          JOIN sigv sb ON sb.doc_id = cd.old_id AND sb.j = sa.j
+          GROUP BY cd.new_id, cd.old_id
+        ),
+        dups AS (SELECT DISTINCT new_id FROM est WHERE e >= {threshold})
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id % 2 = 1
+          AND doc_id NOT IN (SELECT new_id FROM dups)"""
 
 
 _EMB_PLANES_PARQUET = os.path.join(_CACHE, "emb_planes_v1.parquet")
@@ -3256,6 +3322,7 @@ def oracle_sql() -> dict[str, str]:
         # as dataset_split -> whole groups move between splits atomically.
         "grouped_split": _grouped_split_oracle_sql(),
         "ccnet_buckets": _ccnet_oracle_sql(),
+        "incremental_neardup": _incremental_neardup_oracle_sql(),
         # stdlib json.loads == DuckDB json_extract for integer fields.
         "props_stats": """
             SELECT event_type, COUNT(*) AS n,

@@ -77,3 +77,73 @@ def test_incremental_second_generation(ray_session, tmpidx):
                               workdir=tmpidx + "_w2") \
         .to_pandas().sort_values("doc_id")
     assert kept2["doc_id"].tolist() == list(range(30, 40))
+
+
+def _neardup_corpus():
+    """Index docs + an ingest with planted exact/near/fresh docs."""
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain in spain stays mainly on the plain and %d keeps "
+            "every shingle window busy enough for stable minhash")
+    prior = pd.DataFrame({
+        "doc_id": np.arange(0, 20, dtype=np.int64),
+        "text": [base % i for i in range(20)]})
+    new_rows = []
+    # 5 exact copies of index docs, 5 near copies (one char appended),
+    # 10 fresh docs
+    for i in range(5):
+        new_rows.append(base % i)
+    for i in range(5, 10):
+        new_rows.append((base % i) + "!")
+    for i in range(10):
+        new_rows.append(f"completely different content number {i} " * 8)
+    new = pd.DataFrame({
+        "doc_id": np.arange(100, 120, dtype=np.int64),
+        "text": new_rows})
+    return prior, new
+
+
+def test_incremental_neardup(ray_session, tmpidx):
+    import ray.data as rd
+
+    from dqm_ray.functions.incremental import (build_neardup_index,
+                                               incremental_neardup)
+
+    prior, new = _neardup_corpus()
+    build_neardup_index(rd.from_pandas(prior), tmpidx, num_buckets=8)
+    kept = incremental_neardup(rd.from_pandas(new), tmpidx,
+                               num_buckets=8,
+                               workdir=tmpidx + "_w").to_pandas() \
+        .sort_values("doc_id")
+    # exact + near copies dropped, fresh kept
+    assert kept["doc_id"].tolist() == list(range(110, 120))
+    # deterministic across reruns
+    kept2 = incremental_neardup(rd.from_pandas(new), tmpidx,
+                                num_buckets=8,
+                                workdir=tmpidx + "_w2").to_pandas() \
+        .sort_values("doc_id")
+    assert kept2["doc_id"].tolist() == kept["doc_id"].tolist()
+
+
+def test_incremental_neardup_threshold_gate(ray_session, tmpidx):
+    """A candidate pair sharing a band bucket but below the signature
+    -Jaccard threshold survives (verify step, not just LSH recall)."""
+    import ray.data as rd
+
+    from dqm_ray.functions.dedup import MinHashStage
+    from dqm_ray.functions.incremental import (build_neardup_index,
+                                               incremental_neardup)
+
+    a = "the quick brown fox jumps over the lazy dog " * 4
+    b = a[:len(a) // 2] + "zebra lion tiger bear wolf eagle hawk " * 3
+    st = MinHashStage()
+    e = (st.signature(a) == st.signature(b)).mean()
+    assert 0 < e < 0.8  # shares some shingles, below threshold
+    prior = pd.DataFrame({"doc_id": np.array([0], np.int64),
+                          "text": [a]})
+    new = pd.DataFrame({"doc_id": np.array([100], np.int64),
+                        "text": [b]})
+    build_neardup_index(rd.from_pandas(prior), tmpidx, num_buckets=4)
+    kept = incremental_neardup(rd.from_pandas(new), tmpidx,
+                               num_buckets=4, threshold=0.8,
+                               workdir=tmpidx + "_w").to_pandas()
+    assert kept["doc_id"].tolist() == [100]
