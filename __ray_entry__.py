@@ -1346,6 +1346,17 @@ def _q_minhash_dedup(sf_dir: str):
     return dup_table
 
 
+def _q_canonical_docs(sf_dir: str):
+    """Cluster canonicalization: minhash near-dup clusters -> keep the
+    best-quality member (quality_score DESC, doc_id ASC) per cluster —
+    best-copy curation instead of first-wins (dedup.py canonical_docs)."""
+    from dqm_ray.functions.dedup import canonical_docs, minhash_lsh_dedup
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    dup_table, _pairs = minhash_lsh_dedup(ds, threshold=0.8)
+    return canonical_docs(ds, dup_table)
+
+
 def _q_simhash_pairs(sf_dir: str):
     from dqm_ray.functions.dedup import simhash_candidates
 
@@ -1796,6 +1807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_stats": _q_props_stats,
         "ccnet_buckets": _q_ccnet_buckets,
         "incremental_neardup": _q_incremental_neardup,
+        "canonical_docs": _q_canonical_docs,
     }
 
 
@@ -2538,6 +2550,27 @@ _QUALITY_EXPR = """0.25 * (
                   / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
                              AS DOUBLE), 1.0), 0.0), 1.0)
             )"""
+
+
+def _canonical_oracle_sql() -> str:
+    """minhash clusters (the full bitwise chain, nested as a CTE) joined
+    to the shared IEEE quality expression; canonical pick = row_number
+    over (quality_score DESC, doc_id ASC) per cluster."""
+    return f"""
+        WITH groups AS ({_minhash_oracle_sql()}),
+        scored AS (
+          SELECT g.dup_group, d.doc_id, {_QUALITY_EXPR} AS quality_score
+          FROM groups g JOIN documents d ON g.doc_id = d.doc_id
+        )
+        SELECT dup_group, doc_id AS canonical_id, quality_score,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM (
+          SELECT dup_group, doc_id, quality_score,
+                 count(*) OVER (PARTITION BY dup_group) AS n_members,
+                 row_number() OVER (PARTITION BY dup_group
+                                    ORDER BY quality_score DESC, doc_id)
+                     AS rn
+          FROM scored) WHERE rn = 1"""
 
 
 def _docprep_oracle_sql() -> str:
@@ -3323,6 +3356,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_split": _grouped_split_oracle_sql(),
         "ccnet_buckets": _ccnet_oracle_sql(),
         "incremental_neardup": _incremental_neardup_oracle_sql(),
+        "canonical_docs": _canonical_oracle_sql(),
         # stdlib json.loads == DuckDB json_extract for integer fields.
         "props_stats": """
             SELECT event_type, COUNT(*) AS n,

@@ -685,6 +685,93 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     return dup_table, pairs_df
 
 
+def canonical_docs(ds, dup_table: pa.Table, *, id_col: str = "doc_id",
+                   text_col: str = "text", n_parts: int = 64):
+    """Cluster canonicalization: for every near-dup cluster in
+    ``dup_table`` (id → dup_group, e.g. minhash_lsh_dedup's output),
+    select the member to KEEP by quality instead of first-wins —
+    argmax (quality_score DESC, id ASC) — the curation step that turns
+    a dedup pass into a best-copy policy. Returns one row per cluster:
+    (dup_group, canonical_id, quality_score, n_members).
+
+    Scale shape: the member→group map broadcasts once (bounded by the
+    dup-member count — the same artifact minhash already produced); ONE
+    content pass scores only member rows and reduces each batch to one
+    candidate row per (cluster ∩ batch); the final merge is the 64-way
+    hash-part reduce (vectorized lexsort-first per part, no per-tiny-
+    group map_groups dispatch). Only (group, id, score, n) rows ever
+    shuffle."""
+    import ray
+
+    from dqm_ray.functions.text import quality_score_batch
+
+    mids = dup_table.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    mgrp = dup_table.column("dup_group") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(mids, kind="stable")
+    ref = ray.put((mids[order], mgrp[order]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m_ids, m_grp = ray.get(ref)
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(m_ids):
+            pos = np.minimum(np.searchsorted(m_ids, bids), len(m_ids) - 1)
+            member = m_ids[pos] == bids
+        else:
+            member = np.zeros(len(bids), bool)
+        sub = batch.filter(pa.array(member))
+        if sub.num_rows == 0:
+            return pa.table({
+                "dup_group": pa.array([], pa.int64()),
+                "cand_id": pa.array([], pa.int64()),
+                "cand_score": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int32())})
+        scored = quality_score_batch(sub, text_col=text_col)
+        s = scored.column("quality_score") \
+            .to_numpy(zero_copy_only=False)
+        sids = bids[member]
+        g = m_grp[pos[member]]
+        o = np.lexsort((sids, -s, g))     # g, then score desc, then id
+        gg, ss, ii = g[o], s[o], sids[o]
+        first = np.ones(len(gg), bool)
+        first[1:] = gg[1:] != gg[:-1]
+        starts = np.nonzero(first)[0]
+        n = np.diff(np.r_[starts, len(gg)])
+        return pa.table({
+            "dup_group": pa.array(gg[first], pa.int64()),
+            "cand_id": pa.array(ii[first], pa.int64()),
+            "cand_score": pa.array(ss[first], pa.float64()),
+            "n": pa.array(n, pa.int64()),
+            "part": pa.array((pd.util.hash_array(gg[first])
+                              % n_parts).astype(np.int32)),
+        })
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df["dup_group"].to_numpy()
+        s = df["cand_score"].to_numpy()
+        i = df["cand_id"].to_numpy()
+        n = df["n"].to_numpy()
+        o = np.lexsort((i, -s, g))
+        gg, ss, ii, nn = g[o], s[o], i[o], n[o]
+        first = np.ones(len(gg), bool)
+        first[1:] = gg[1:] != gg[:-1]
+        starts = np.nonzero(first)[0]
+        tot = np.add.reduceat(nn, starts) if len(starts) else \
+            np.empty(0, np.int64)
+        return pd.DataFrame({
+            "dup_group": gg[first],
+            "canonical_id": ii[first],
+            "quality_score": ss[first],
+            "n_members": tot.astype(np.int64)})
+
+    return ds.map_batches(partial, batch_format="pyarrow", num_cpus=1) \
+        .groupby("part") \
+        .map_groups(reduce_part, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

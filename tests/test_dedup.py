@@ -171,3 +171,46 @@ def test_connected_components_full_range_int64_ids(ray_session):
     got = dict(zip(lab["node"].astype(np.int64),
                    lab["label"].astype(np.int64)))
     assert got == want
+
+
+def test_canonical_docs_picks_best_quality(ray_session):
+    """Canonical pick = argmax (quality_score desc, id asc) per
+    cluster; singleton non-dup docs never appear."""
+    import ray.data as rd
+
+    from dqm_ray.functions.dedup import canonical_docs
+    from dqm_ray.functions.text import quality_score_batch
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog. " * 10,
+        1: "the quick brown fox jumps over the lazy dog. " * 10,
+        2: "!!!???..." * 40,                       # low quality twin
+        3: "a completely different document " * 12,
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    dup_table = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "dup_group": pa.array([0, 0, 0], pa.int64()),
+    })
+    out = canonical_docs(rd.from_pandas(df), dup_table).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["dup_group"] == 0 and row["n_members"] == 3
+    # ids 0 and 1 tie on score (identical text) -> lowest id wins
+    assert row["canonical_id"] == 0
+    scores = quality_score_batch(
+        pa.table({"text": pa.array([texts[0]])}))["quality_score"]
+    assert row["quality_score"] == scores[0].as_py()
+
+
+def test_canonical_docs_empty_clusters(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.dedup import canonical_docs
+
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "text": [f"unique {i}" for i in range(5)]})
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "dup_group": pa.array([], pa.int64())})
+    out = canonical_docs(rd.from_pandas(df), empty).to_pandas()
+    assert len(out) == 0
