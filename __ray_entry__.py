@@ -1357,6 +1357,28 @@ def _q_canonical_docs(sf_dir: str):
     return canonical_docs(ds, dup_table)
 
 
+_BLOOM_M, _BLOOM_K, _BLOOM_SEED = 1 << 16, 4, 5
+
+
+def _q_bloom_probe(sf_dir: str):
+    """Approximate-membership probe: a Bloom filter built over the
+    English docs' ids (one aggregate pass, OR-mergeable bitset) probed
+    by every doc — deterministic bit contract, so the oracle rebuilds
+    the identical filter in SQL (functions/bloom.py)."""
+    import pyarrow.compute as pc
+
+    from dqm_ray.functions.bloom import build_bloom, probe_bloom
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+    en = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en")),
+        batch_format="pyarrow")
+    words = build_bloom(en, key_col="doc_id", m_bits=_BLOOM_M,
+                        k_hashes=_BLOOM_K, seed=_BLOOM_SEED)
+    return probe_bloom(ds, words, key_col="doc_id",
+                       k_hashes=_BLOOM_K, seed=_BLOOM_SEED)
+
+
 def _q_simhash_pairs(sf_dir: str):
     from dqm_ray.functions.dedup import simhash_candidates
 
@@ -1808,6 +1830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "incremental_neardup": _q_incremental_neardup,
         "canonical_docs": _q_canonical_docs,
+        "bloom_probe": _q_bloom_probe,
     }
 
 
@@ -2550,6 +2573,26 @@ _QUALITY_EXPR = """0.25 * (
                   / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
                              AS DOUBLE), 1.0), 0.0), 1.0)
             )"""
+
+
+def _bloom_oracle_sql() -> str:
+    """Rebuild the identical Bloom filter in SQL: distinct set bits of
+    the en-doc keys, then per-doc BOOL_AND over its k probe bits."""
+    from dqm_ray.functions.bloom import bloom_sql_bit
+
+    bit = bloom_sql_bit("doc_id", "t.i", _BLOOM_M, _BLOOM_SEED)
+    return f"""
+        WITH bits AS (
+          SELECT DISTINCT {bit} AS b
+          FROM documents, unnest(range({_BLOOM_K})) t(i)
+          WHERE lang = 'en'),
+        probe AS (
+          SELECT doc_id, lang, {bit} AS b
+          FROM documents, unnest(range({_BLOOM_K})) t(i))
+        SELECT p.doc_id, ANY_VALUE(p.lang) AS lang,
+               BOOL_AND(bb.b IS NOT NULL) AS maybe_member
+        FROM probe p LEFT JOIN bits bb ON p.b = bb.b
+        GROUP BY p.doc_id"""
 
 
 def _canonical_oracle_sql() -> str:
@@ -3357,6 +3400,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": _ccnet_oracle_sql(),
         "incremental_neardup": _incremental_neardup_oracle_sql(),
         "canonical_docs": _canonical_oracle_sql(),
+        "bloom_probe": _bloom_oracle_sql(),
         # stdlib json.loads == DuckDB json_extract for integer fields.
         "props_stats": """
             SELECT event_type, COUNT(*) AS n,

@@ -1,0 +1,125 @@
+"""Bloom-filter membership — the mergeable approximate-membership
+sketch every large-scale dedup/decontamination pipeline keeps next to
+its exact indexes (probe cheaply, pay the exact path only on hits).
+
+Unlike most "approximate" operators, a Bloom filter is a DETERMINISTIC
+function of (key set, m, k, seed): the bit positions come from the
+repo's keyed multiplicative hashes, so the DuckDB oracle reproduces
+the whole filter — build and probe — bit for bit. False positives are
+part of that deterministic contract, not noise.
+
+Scale shape: build is one ``Dataset.aggregate`` with a bitset
+accumulator (m/8 bytes per partial; combine = OR — the Hist/HLL
+accumulator algebra, reference include/dqm/algs/Hist.hpp analog);
+probe broadcasts the packed bitset once via ``ray.put`` and tests
+k bits per row vectorized. Keep m at the low megabits for the
+aggregate transport; for multi-gigabit filters emit distinct bit
+indices instead and OR them bucketed on disk (the incremental-index
+layout).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from dqm_ray.aggregates import AggregateFnV2, _column
+from dqm_ray.functions.sampling import _M64, SAMPLE_A, _offset
+
+SAMPLE_B = 0xC2B2AE3D27D4EB4F  # second odd multiplier (double hashing)
+
+
+def bloom_bit_positions(keys: np.ndarray, *, m_bits: int, k_hashes: int,
+                        seed: int = 0) -> np.ndarray:
+    """(n, k) bit positions: pos_i = (h1 + i*h2) mod 2^64 mod m, with
+    h1/h2 two independently-seeded keyed multiplicative hashes."""
+    k64 = np.asarray(keys).astype(np.int64).view(np.uint64)
+    h1 = k64 * np.uint64(SAMPLE_A) + np.uint64(_offset(seed))
+    h2 = k64 * np.uint64(SAMPLE_B) + np.uint64(_offset(seed + 1))
+    i = np.arange(k_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+class BloomSketch(AggregateFnV2):
+    """Mergeable bitset accumulator: per-block OR of the key bits."""
+
+    def __init__(self, on: str, *, m_bits: int = 1 << 20,
+                 k_hashes: int = 4, seed: int = 0,
+                 alias_name: str | None = None):
+        if m_bits & (m_bits - 1) or m_bits < 64:
+            raise ValueError("m_bits must be a power of two >= 64")
+        self._m, self._k, self._seed = m_bits, k_hashes, seed
+        self._words = m_bits // 64
+        super().__init__(alias_name or f"bloom({on})",
+                         zero_factory=lambda: [0] * (m_bits // 64),
+                         on=on, ignore_nulls=True)
+
+    def aggregate_block(self, block):
+        keys = _column(block, self._target_col_name)
+        bits = bloom_bit_positions(keys, m_bits=self._m,
+                                   k_hashes=self._k, seed=self._seed) \
+            .ravel().view(np.uint64)
+        words = np.zeros(self._words, dtype=np.uint64)
+        np.bitwise_or.at(words, (bits >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (bits & np.uint64(63)))
+        return words.view(np.int64).tolist()
+
+    def combine(self, a, b):
+        return np.bitwise_or(np.asarray(a, np.int64),
+                             np.asarray(b, np.int64)).tolist()
+
+    def finalize(self, acc):
+        return acc  # int64 bitset words
+
+
+def build_bloom(ds, *, key_col: str, m_bits: int = 1 << 20,
+                k_hashes: int = 4, seed: int = 0) -> np.ndarray:
+    """One streaming pass -> packed int64 bitset words."""
+    res = ds.aggregate(BloomSketch(key_col, m_bits=m_bits,
+                                   k_hashes=k_hashes, seed=seed,
+                                   alias_name="bloom"))
+    return np.asarray(res["bloom"], dtype=np.int64)
+
+
+def probe_bloom(ds, words: np.ndarray, *, key_col: str,
+                k_hashes: int = 4, seed: int = 0,
+                out_col: str = "maybe_member"):
+    """Append ``out_col``: True iff every one of the key's k bits is
+    set (member or false positive — deterministic either way)."""
+    import ray
+
+    w = np.ascontiguousarray(words, dtype=np.int64).view(np.uint64)
+    m_bits = len(w) * 64
+    ref = ray.put(w)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ww = ray.get(ref)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        bits = bloom_bit_positions(keys, m_bits=m_bits,
+                                   k_hashes=k_hashes, seed=seed) \
+            .view(np.uint64)
+        hit = (ww[(bits >> np.uint64(6)).astype(np.int64)]
+               >> (bits & np.uint64(63))) & np.uint64(1)
+        return batch.append_column(
+            out_col, pa.array(hit.all(axis=1)))
+
+    return ds.map_batches(probe, batch_format="pyarrow", num_cpus=1)
+
+
+def bloom_sql_hash(key_expr: str, mult: int, offset: int) -> str:
+    """The keyed multiplicative hash as DuckDB SQL (32-bit-split mulmod
+    — sampling.sample_sql_hash generalized to any multiplier)."""
+    a_hi, a_lo = (mult >> 32) << 32, mult & 0xFFFFFFFF
+    mul = (f"((CAST({key_expr} AS HUGEINT) * {a_hi}) % {_M64} "
+           f"+ (CAST({key_expr} AS HUGEINT) * {a_lo}) % {_M64})")
+    return f"(({mul} + {offset}) % {_M64})"
+
+
+def bloom_sql_bit(key_expr: str, i_expr: str, m_bits: int,
+                  seed: int = 0) -> str:
+    """pos_i as DuckDB SQL — identical to bloom_bit_positions."""
+    h1 = bloom_sql_hash(key_expr, SAMPLE_A, _offset(seed))
+    h2 = bloom_sql_hash(key_expr, SAMPLE_B, _offset(seed + 1))
+    return (f"((({h1} + CAST({i_expr} AS HUGEINT) * {h2}) % {_M64}) "
+            f"% {m_bits})")

@@ -135,3 +135,39 @@ def test_approx_distinct_distributed(ray_session):
     for k, g in df.groupby("k"):
         true = g["v"].nunique()
         assert abs(out.loc[k, "nd"] - true) / true < 0.05
+
+
+def test_bloom_sketch_membership_and_merge(ray_session):
+    """No false negatives ever; bitset independent of block layout;
+    probe matches a direct numpy rebuild (deterministic contract)."""
+    import ray.data as rd
+
+    from dqm_ray.functions.bloom import (bloom_bit_positions, build_bloom,
+                                         probe_bloom)
+
+    import pandas as pd
+
+    keys = np.arange(0, 3000, 3, dtype=np.int64)        # members
+    df = pd.DataFrame({"k": keys})
+    words1 = build_bloom(rd.from_pandas(df), key_col="k",
+                         m_bits=1 << 14, k_hashes=4, seed=5)
+    words2 = build_bloom(rd.from_pandas(df).repartition(7), key_col="k",
+                         m_bits=1 << 14, k_hashes=4, seed=5)
+    assert (words1 == words2).all()                     # OR-merge algebra
+
+    probe_keys = np.arange(0, 3000, dtype=np.int64)
+    out = probe_bloom(rd.from_pandas(pd.DataFrame({"k": probe_keys})),
+                      words1, key_col="k", k_hashes=4, seed=5) \
+        .to_pandas().sort_values("k")
+    got = out["maybe_member"].to_numpy()
+    assert got[::3].all()                               # no false negatives
+    # false-positive rate sane for m=16384, k=4, n=1000 (~0.2% expected)
+    fp = got[probe_keys % 3 != 0].mean()
+    assert fp < 0.05
+    # direct rebuild agrees bit for bit
+    w = np.zeros(1 << 14 >> 6, np.uint64)
+    bits = bloom_bit_positions(keys, m_bits=1 << 14, k_hashes=4,
+                               seed=5).ravel().view(np.uint64)
+    np.bitwise_or.at(w, (bits >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (bits & np.uint64(63)))
+    assert (w.view(np.int64) == words1).all()
