@@ -1357,6 +1357,20 @@ def _q_canonical_docs(sf_dir: str):
     return canonical_docs(ds, dup_table)
 
 
+_SPAN_K = 20
+
+
+def _q_dedup_spans(sf_dir: str):
+    """Cross-doc exact substring dedup (Lee et al. 2021 shape): spans
+    covered by a k-gram whose stride-anchored first occurrence is
+    strictly earlier are cut; the winner occurrence survives
+    (functions/spans.py)."""
+    from dqm_ray.functions.spans import dedup_spans
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return dedup_spans(ds, k=_SPAN_K)
+
+
 _BLOOM_M, _BLOOM_K, _BLOOM_SEED = 1 << 16, 4, 5
 
 
@@ -1831,6 +1845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_neardup": _q_incremental_neardup,
         "canonical_docs": _q_canonical_docs,
         "bloom_probe": _q_bloom_probe,
+        "dedup_spans": _q_dedup_spans,
     }
 
 
@@ -2573,6 +2588,35 @@ _QUALITY_EXPR = """0.25 * (
                   / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
                              AS DOUBLE), 1.0), 0.0), 1.0)
             )"""
+
+
+def _dedup_spans_oracle_sql(k: int = _SPAN_K) -> str:
+    """Span dedup in SQL over the shared gram CTEs: stride-anchored
+    min packed (doc << 32 | pos) winner per gram; positions whose gram
+    has a strictly-smaller winner are covered; cleaned text =
+    string_agg of uncovered chars (the scrub_spans oracle kernel)."""
+    return f"""
+        WITH {_gram_ctes(k)},
+        anchors AS (
+          SELECT gram, min(doc_id * 4294967296 + i - 1) AS w
+          FROM pos_grams WHERE (i - 1) % {k} = 0 GROUP BY gram),
+        hits AS (
+          SELECT p.doc_id, p.i FROM pos_grams p
+          JOIN anchors a USING (gram)
+          WHERE a.w < p.doc_id * 4294967296 + p.i - 1),
+        cover AS (SELECT DISTINCT h.doc_id, h.i + t.d AS pos
+                  FROM hits h, unnest(range(0, {k})) t(d)),
+        agg AS (
+          SELECT b.doc_id,
+                 coalesce(string_agg(chr(b.b0), '' ORDER BY b.i)
+                          FILTER (WHERE c.pos IS NULL), '') AS text,
+                 CAST(count(c.pos) AS BIGINT) AS n_cut
+          FROM bytes b
+          LEFT JOIN cover c ON b.doc_id = c.doc_id AND b.i = c.pos
+          GROUP BY b.doc_id)
+        SELECT d.doc_id, coalesce(a.text, '') AS text,
+               coalesce(a.n_cut, 0) AS n_cut
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
 
 def _bloom_oracle_sql() -> str:
@@ -3401,6 +3445,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_neardup": _incremental_neardup_oracle_sql(),
         "canonical_docs": _canonical_oracle_sql(),
         "bloom_probe": _bloom_oracle_sql(),
+        "dedup_spans": _dedup_spans_oracle_sql(),
         # stdlib json.loads == DuckDB json_extract for integer fields.
         "props_stats": """
             SELECT event_type, COUNT(*) AS n,

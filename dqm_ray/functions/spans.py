@@ -1,0 +1,130 @@
+"""Cross-document exact substring (span) deduplication — the
+"dedup the repeated 50-char span, keep the page" operator from Lee et
+al. 2021 (Deduplicating Training Data Makes Language Models Better),
+re-expressed without suffix arrays:
+
+- **anchors**: every doc's k-byte grams at stride-k positions (byte
+  offsets 0, k, 2k, … within the doc) are fingerprinted; winner per
+  fingerprint = the minimum packed ``(doc_id << 32 | pos)``. Any
+  substring repeat of length >= 2k-1 is guaranteed to cover one full
+  stride window, so anchoring at 1/k of positions loses no long
+  repeat (the standard content-defined-chunking argument);
+- **cut pass**: every doc probes ALL its overlapping grams against
+  the winner map; a position whose gram has a winner strictly smaller
+  than its own packed position is covered; the union of covered
+  ``[p, p+k)`` spans is deleted (first occurrence — the winner itself
+  — survives; repeats inside the SAME doc after the anchor are cut
+  too). Docs shorter than k are never cut.
+
+Scale shape: the anchor pass ships 16 B per k text bytes through ONE
+``groupby.min`` (content never shuffles); the winner map broadcasts
+sorted (~16 B x chars/k — at 100 TB swap the broadcast for the
+hive-bucketed probe of functions/incremental.py, same escape hatch as
+dedup_paragraphs_bucketed); the cut pass is the scrub_spans
+diff+cumsum kernel over the raw buffer, strings rebuilt zero-copy.
+
+ids must fit 31 bits and docs 2^32 bytes (packed radix). Byte ==
+codepoint under the same ASCII precondition the gram-hash SQL oracle
+relies on (decontam.py note).
+
+Reference parity: make_same_size / remove_empty normalize payloads
+in place (src/Pipeline.cpp check loop); span dedup is the
+corpus-global version of in-place payload normalization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_SPAN_K = 20
+
+
+def dedup_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                k: int = DEFAULT_SPAN_K, batch_size: int = 512):
+    """Returns (id_col, text, n_cut): every doc with globally-repeated
+    k-spans deleted (winner occurrence kept), and the cut byte count."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from dqm_ray.functions.dedup import batch_gram_hashes
+    from dqm_ray.stages.rules import string_buffer_view
+
+    def grams_of(batch: pa.Table):
+        text = batch.column(text_col).combine_chunks()
+        grams, starts, counts = batch_gram_hashes(text, k)
+        n = len(batch)
+        view = string_buffer_view(text)
+        byte_lens = (np.diff(view[1]) if view is not None else
+                     np.array([len((t or "").encode())
+                               for t in text.to_pylist()], np.int64))
+        short = byte_lens < k
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        local = np.arange(len(grams), dtype=np.int64) \
+            - np.repeat(starts, counts)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        packed = (ids[doc_idx] << 32) | local
+        valid = ~short[doc_idx]
+        return text, grams, doc_idx, local, packed, valid, byte_lens
+
+    def anchor_partial(batch: pa.Table) -> pa.Table:
+        _, grams, _, local, packed, valid, _ = grams_of(batch)
+        m = valid & (local % k == 0)
+        return pa.table({
+            "gram": pa.array(grams[m].view(np.int64), pa.int64()),
+            "packed": pa.array(packed[m], pa.int64()),
+        })
+
+    winners = ds.map_batches(anchor_partial, batch_format="pyarrow",
+                             num_cpus=1) \
+        .groupby("gram").aggregate(Min("packed", alias_name="w"))
+    g_parts, w_parts = [], []
+    for b in winners.iter_batches(batch_size=1 << 16,
+                                  batch_format="pyarrow"):
+        g_parts.append(b.column("gram").to_numpy(zero_copy_only=False))
+        w_parts.append(b.column("w").to_numpy(zero_copy_only=False))
+    g_all = (np.concatenate(g_parts) if g_parts
+             else np.empty(0, np.int64)).view(np.uint64)
+    w_all = np.concatenate(w_parts) if w_parts else np.empty(0, np.int64)
+    order = np.argsort(g_all, kind="stable")
+    win_ref = ray.put((g_all[order], w_all[order]))
+
+    def cut(batch: pa.Table) -> pa.Table:
+        gs, ws = ray.get(win_ref)
+        text, grams, doc_idx, local, packed, valid, byte_lens = \
+            grams_of(batch)
+        n = len(batch)
+        if len(gs) and len(grams):
+            pos = np.minimum(np.searchsorted(gs, grams), len(gs) - 1)
+            flag = (gs[pos] == grams) & (ws[pos] < packed) & valid
+        else:
+            flag = np.zeros(len(grams), bool)
+        view = string_buffer_view(text)
+        if view is None:  # nulls: normalize to '' then re-view
+            text = pa.array([(t or "") for t in text.to_pylist()],
+                            pa.large_string())
+            view = string_buffer_view(text)
+        data, offs = view
+        g_start = offs[:-1][doc_idx[flag]] + local[flag]
+        delta = np.zeros(len(data) + k + 1, np.int64)
+        np.add.at(delta, g_start, 1)
+        np.add.at(delta, g_start + k, -1)
+        cover = np.cumsum(delta[:len(data)]) > 0
+        kept = data[~cover]
+        cumcov = np.zeros(len(data) + 1, np.int64)
+        np.cumsum(cover.astype(np.int64), out=cumcov[1:])
+        removed = cumcov[offs[1:]] - cumcov[offs[:-1]]
+        new_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(byte_lens - removed, out=new_offs[1:])
+        cleaned = pa.LargeStringArray.from_buffers(
+            n, pa.py_buffer(new_offs.tobytes()),
+            pa.py_buffer(kept.tobytes()))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "text": cleaned.cast(pa.string()),
+            "n_cut": pa.array(removed, pa.int64()),
+        })
+
+    return ds.map_batches(cut, batch_format="pyarrow",
+                          batch_size=batch_size, num_cpus=1)

@@ -214,3 +214,42 @@ def test_canonical_docs_empty_clusters(ray_session):
                       "dup_group": pa.array([], pa.int64())})
     out = canonical_docs(rd.from_pandas(df), empty).to_pandas()
     assert len(out) == 0
+
+
+def test_dedup_spans_cuts_repeats(ray_session):
+    """Repeated >=2k-1 spans are cut from later docs (and later
+    in-doc repeats) while the winner occurrence and short docs stay."""
+    import ray.data as rd
+
+    from dqm_ray.functions.spans import dedup_spans
+
+    k = 10
+    span = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789abcd"  # 40 = 4k chars
+    docs = {
+        0: f"intro text one {span} outro text one",
+        1: f"totally different wrapper {span} and a tail here",
+        2: "short",                                # < k: never cut
+        3: f"{span}xx{span}",                      # in-doc repeat
+        4: "no repeats in this document at all - unique words only",
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    out = dedup_spans(rd.from_pandas(df), k=k).to_pandas() \
+        .set_index("doc_id")
+    # winner doc keeps the span
+    assert span in out.loc[0, "text"]
+    assert out.loc[0, "n_cut"] == 0
+    # later doc loses exactly the span region (anchors cover all 4
+    # stride windows; flanks survive)
+    assert span not in out.loc[1, "text"]
+    assert "totally different wrapper" in out.loc[1, "text"]
+    assert "and a tail here" in out.loc[1, "text"]
+    # doc 3: its FIRST occurrence is a repeat of doc 0's span -> both
+    # occurrences cut (winner lives in doc 0)
+    assert span not in out.loc[3, "text"]
+    assert out.loc[2, "text"] == "short" and out.loc[2, "n_cut"] == 0
+    assert out.loc[4, "n_cut"] == 0
+    # deterministic across block layouts
+    out2 = dedup_spans(rd.from_pandas(df).repartition(3), k=k) \
+        .to_pandas().set_index("doc_id")
+    for i in docs:
+        assert out2.loc[i, "text"] == out.loc[i, "text"]
