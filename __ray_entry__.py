@@ -1357,6 +1357,47 @@ def _q_canonical_docs(sf_dir: str):
     return canonical_docs(ds, dup_table)
 
 
+_SEM_THRESHOLD = 0.25
+
+
+def _q_semantic_decontam(sf_dir: str):
+    """Embedding-level decontamination: corpus vectors (odd ids) whose
+    cosine against ANY benchmark vector (even ids) reaches the
+    threshold — catches paraphrased eval leakage that exact n-gram
+    probes miss (decontam.py::semantic_decontam)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from dqm_ray.functions.decontam import semantic_decontam
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def parity(d, rem):
+        return d.map_batches(
+            lambda b, r=rem: b.filter(pc.equal(
+                pc.bit_wise_and(b.column("vec_id"), 1), r)),
+            batch_format="pyarrow")
+
+    bench = parity(ds, 0).to_pandas()  # benchmark side: small by contract
+    bmat = np.stack(bench["embedding"].to_numpy())
+    return semantic_decontam(parity(ds, 1), bench["vec_id"].to_numpy(),
+                             bmat, threshold=_SEM_THRESHOLD)
+
+
+def _q_trending(sf_dir: str):
+    """Top-3 event types per hour by count (windowed top-k): bounded
+    (window x key) counter merge + hash-part lexsort reduce
+    (windows.py::trending)."""
+    import ray.data as rd
+
+    from dqm_ray.functions.windows import trending
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type"])
+    return trending(ds, window_minutes=60, k=3)
+
+
 _SPAN_K = 20
 
 
@@ -1846,6 +1887,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_docs": _q_canonical_docs,
         "bloom_probe": _q_bloom_probe,
         "dedup_spans": _q_dedup_spans,
+        "semantic_decontam": _q_semantic_decontam,
+        "trending": _q_trending,
     }
 
 
@@ -3446,6 +3489,31 @@ def oracle_sql() -> dict[str, str]:
         "canonical_docs": _canonical_oracle_sql(),
         "bloom_probe": _bloom_oracle_sql(),
         "dedup_spans": _dedup_spans_oracle_sql(),
+        "semantic_decontam": f"""
+            WITH bench AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+                           FROM embeddings WHERE vec_id % 2 = 0),
+            sims AS (
+              SELECT p.vec_id,
+                     list_cosine_similarity(
+                         CAST(p.embedding AS DOUBLE[]), b.v) AS sim
+              FROM embeddings p JOIN bench b ON true
+              WHERE p.vec_id % 2 = 1)
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN sim >= {_SEM_THRESHOLD}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+                   round(MAX(sim), 6) AS max_cosine
+            FROM sims GROUP BY vec_id
+            HAVING SUM(CASE WHEN sim >= {_SEM_THRESHOLD}
+                       THEN 1 ELSE 0 END) > 0""",
+        "trending": """
+            SELECT window_start, event_type, n, rank FROM (
+              SELECT date_trunc('hour', ts) AS window_start, event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(row_number() OVER (
+                          PARTITION BY date_trunc('hour', ts)
+                          ORDER BY count(*) DESC, event_type)
+                          AS BIGINT) AS rank
+              FROM events GROUP BY 1, 2) WHERE rank <= 3""",
         # stdlib json.loads == DuckDB json_extract for integer fields.
         "props_stats": """
             SELECT event_type, COUNT(*) AS n,

@@ -285,3 +285,52 @@ def scrub_spans(ds, bench_grams: np.ndarray, *, id_col: str = "doc_id",
 
     return ds.map_batches(scrub, batch_format="pyarrow",
                           batch_size=batch_size, num_cpus=1)
+
+
+def semantic_decontam(ds, bench_ids: np.ndarray, bench_mat: np.ndarray,
+                      *, id_col: str = "vec_id",
+                      emb_col: str = "embedding",
+                      threshold: float = 0.9,
+                      batch_size: int = 4096):
+    """EMBEDDING-level decontamination: flag corpus vectors whose
+    cosine against ANY benchmark vector reaches ``threshold`` —
+    catches paraphrased eval leakage that exact n-gram probes miss.
+
+    Same broadcast semi-join shape as :func:`decontaminate`: the
+    benchmark matrix ships once via ``ray.put`` (eval sets are small),
+    each batch does one matmul against it, and only flagged rows leave
+    the task. Returns (id, n_matched, max_cosine round(6)); clean rows
+    are dropped. Cosine = dot / (|a||b|) like SQL
+    ``list_cosine_similarity`` (same unrounded-threshold + rounded
+    -output contract as embedding_near_dup)."""
+    import ray
+
+    b = np.asarray(bench_mat, dtype=np.float64)
+    bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((np.asarray(bench_ids, np.int64), bn))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        _bids, bmat = ray.get(ref)
+        col = batch.column(emb_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = len(batch)
+        mat = flat.reshape(n, len(flat) // n) if n else \
+            flat.reshape(0, 0)
+        pn = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        cos = pn @ bmat.T if n and len(bmat) else np.zeros((n, 0))
+        hit = cos >= threshold
+        n_matched = hit.sum(axis=1).astype(np.int64)
+        keep = n_matched > 0
+        mx = np.where(keep, cos.max(axis=1, initial=-1.0), -1.0)
+        return pa.table({
+            id_col: batch.column(id_col).filter(pa.array(keep)),
+            "n_matched": pa.array(n_matched[keep], pa.int64()),
+            "max_cosine": pa.array(np.round(mx[keep], 6), pa.float64()),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          batch_size=batch_size, num_cpus=1)

@@ -152,3 +152,61 @@ def rate_limit(ds, *, key_col: str = "user_id", ts_col: str = "ts",
 
     return _with_part(ds, key_col).groupby("part") \
         .map_groups(part_limit, batch_format="pandas")
+
+
+def trending(ds, *, ts_col: str = "ts", key_col: str = "event_type",
+             window_minutes: int = 60, k: int = 3, n_parts: int = 16):
+    """Top-k keys per tumbling window by count — the "what's trending
+    this hour" op. Tie contract: count DESC, key ASC.
+
+    Scale shape: per-batch partial counts collapse each batch to its
+    distinct (window, key) pairs; one bounded groupby-sum merges them
+    (cardinality = windows x keys, never rows); the per-window top-k
+    is a hash-part reduce with ONE lexsort per part (no per-window
+    dispatch). Emits (window_start, key, n, rank 1..k)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    w = np.timedelta64(window_minutes * 60, "s")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        win = ts - ((ts - np.datetime64(0, "us")) % w)
+        key = batch.column(key_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"window_start": win, key_col: key})
+        g = df.groupby(["window_start", key_col], sort=False) \
+            .size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            num_cpus=1) \
+        .groupby(["window_start", key_col]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        win = batch.column("window_start") \
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .view(np.int64)
+        part = (pd.util.hash_array(win) % n_parts).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        win = df["window_start"].to_numpy()
+        key = df[key_col].to_numpy()
+        n = df["n"].to_numpy().astype(np.int64)
+        order = np.lexsort((key, -n, win))
+        win, key, n = win[order], key[order], n[order]
+        new_run = np.ones(len(win), dtype=bool)
+        new_run[1:] = win[1:] != win[:-1]
+        starts = np.nonzero(new_run)[0]
+        seg_len = np.diff(np.r_[starts, len(win)])
+        rn = np.arange(len(win)) - np.repeat(starts, seg_len) + 1
+        keep = rn <= k
+        return pd.DataFrame({
+            "window_start": win[keep].astype("datetime64[us]"),
+            key_col: key[keep],
+            "n": n[keep], "rank": rn[keep].astype(np.int64)})
+
+    return counts.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(topk, batch_format="pandas")

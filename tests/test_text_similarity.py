@@ -264,3 +264,32 @@ def test_knn_ivf_quantized_agrees_with_ivf(ray_session, tmp_path):
         hits += len(a & b)
         assert qz[qz.query_id == qi].iloc[0]["vec_id"] == qi
     assert hits >= 21          # >= 70% overlap with the float ranking
+
+
+def test_semantic_decontam_flags_paraphrase_neighbors(ray_session):
+    """A probe nearly parallel to a benchmark vector is flagged with
+    the right match count; orthogonal probes are dropped."""
+    import ray.data as rd
+
+    from dqm_ray.functions.decontam import semantic_decontam
+
+    d = 8
+    bench = np.eye(d)[:3]                      # 3 benchmark directions
+    probes = np.stack([
+        np.eye(d)[0] + 0.01 * np.eye(d)[4],    # ~bench 0 -> flagged
+        np.eye(d)[5],                          # orthogonal -> clean
+        0.7 * np.eye(d)[1] + 0.7 * np.eye(d)[2],  # 45 deg to TWO
+    ])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(100, 103, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in probes],
+                              pa.list_(pa.float32(), 8)),
+    })
+    out = semantic_decontam(rd.from_arrow(tbl),
+                            np.arange(3, dtype=np.int64), bench,
+                            threshold=0.7).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert out["vec_id"].tolist() == [100, 102]
+    assert out.loc[0, "n_matched"] == 1
+    assert out.loc[0, "max_cosine"] > 0.99
+    assert out.loc[1, "n_matched"] == 2       # cos 45deg ~= 0.707 to both

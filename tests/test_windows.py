@@ -107,3 +107,29 @@ def test_rate_limit_matches_naive(ray_session):
     pd.testing.assert_frame_equal(
         out[["user_id", "event_id", "window_start", "rn"]], ref)
     assert (out.groupby(["user_id", "window_start"]).size() <= 3).all()
+
+
+def test_trending_topk_and_ties(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.windows import trending
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    # hour 0: a x3, b x2, c x1, d x1 (c/d tie -> c wins rank 3)
+    rows += [("a", 0)] * 3 + [("b", 5)] * 2 + [("c", 7), ("d", 9)]
+    # hour 1: only z
+    rows += [("z", 61)]
+    df = pd.DataFrame({
+        "event_type": [r[0] for r in rows],
+        "ts": [base + np.timedelta64(m, "m") for _, m in rows],
+    })
+    out = trending(rd.from_pandas(df), window_minutes=60, k=3) \
+        .to_pandas().sort_values(["window_start", "rank"]) \
+        .reset_index(drop=True)
+    h0 = out[out["window_start"] == base]
+    assert h0["event_type"].tolist() == ["a", "b", "c"]
+    assert h0["n"].tolist() == [3, 2, 1]
+    assert h0["rank"].tolist() == [1, 2, 3]
+    h1 = out[out["window_start"] != base]
+    assert h1["event_type"].tolist() == ["z"] and len(out) == 4
