@@ -1357,6 +1357,16 @@ def _q_canonical_docs(sf_dir: str):
     return canonical_docs(ds, dup_table)
 
 
+def _q_zscore_chars(sf_dir: str):
+    """Per-lang z-score normalization of n_chars — exact int64 group
+    moments + pinned-IEEE float steps + half-away micro-units, so the
+    oracle matches bitwise (functions/skew.py::grouped_zscore)."""
+    from dqm_ray.functions.skew import grouped_zscore
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    return grouped_zscore(ds, key_col="lang", val_col="n_chars")
+
+
 _SEM_THRESHOLD = 0.25
 
 
@@ -1889,6 +1899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": _q_dedup_spans,
         "semantic_decontam": _q_semantic_decontam,
         "trending": _q_trending,
+        "zscore_chars": _q_zscore_chars,
     }
 
 
@@ -2660,6 +2671,14 @@ def _dedup_spans_oracle_sql(k: int = _SPAN_K) -> str:
         SELECT d.doc_id, coalesce(a.text, '') AS text,
                coalesce(a.n_cut, 0) AS n_cut
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+def _zscore_oracle_sql() -> str:
+    """grouped_zscore's pinned-IEEE contract, built by the same module
+    (skew.zscore_sql) so the two sides cannot drift."""
+    from dqm_ray.functions.skew import zscore_sql
+
+    return zscore_sql("lang", "n_chars")
 
 
 def _bloom_oracle_sql() -> str:
@@ -3505,6 +3524,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sims GROUP BY vec_id
             HAVING SUM(CASE WHEN sim >= {_SEM_THRESHOLD}
                        THEN 1 ELSE 0 END) > 0""",
+        "zscore_chars": _zscore_oracle_sql(),
         "trending": """
             SELECT window_start, event_type, n, rank FROM (
               SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -50,3 +50,98 @@ def salted_count_sum(ds, *, key: str, sum_cols: tuple[str, ...] = (),
     aggs2 = [Sum("n", alias_name="n")] + [
         Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sum_cols]
     return level1.groupby(key).aggregate(*aggs2)
+
+
+def grouped_zscore(ds, *, key_col: str, val_col: str,
+                   out_col: str = "z_micro"):
+    """Per-group z-score normalization of an INTEGER column with a
+    bitwise cross-engine contract: group moments are exact int64 sums
+    (n, Σx, Σx²) merged through one bounded groupby, then every float
+    op is a single pinned IEEE step mirrored verbatim in the SQL
+    oracle —
+
+        mean = double(S) / n
+        var  = (double(SS) - double(S) * double(S) / n) / (n - 1)
+        z    = (double(x) - mean) / sqrt(var)
+
+    and the published value is integer micro-units (half-away). Groups
+    with n <= 1 or zero variance emit z_micro = 0. Exactness bound:
+    Σx² must fit int64 (~1e9 rows of 1e4-magnitude values); past that,
+    promote the partial to two int64 limbs.
+
+    Scale shape: per-batch partial moments -> tiny per-group merge ->
+    broadcast dict -> one vectorized normalization pass. The feature
+    -normalization step of a training-data pipeline; reference parity:
+    the fill/merge accumulator split of src/algs/STD.cpp:21-27."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        x = batch.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, inv = np.unique(k, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        ss = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, x)
+        np.add.at(ss, inv, x * x)
+        return pa.table({key_col: pa.array(uniq),
+                         "n": pa.array(n), "s": pa.array(s),
+                         "ss": pa.array(ss)})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", num_cpus=1) \
+        .groupby(key_col).aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss")).take_all()
+    stats = {r[key_col]: (int(r["n"]), int(r["s"]), int(r["ss"]))
+             for r in rows}
+    ref = ray.put(stats)
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        x = batch.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        uniq, inv = np.unique(k, return_inverse=True)
+        nf = np.array([st[u][0] for u in uniq], np.float64)
+        sf = np.array([st[u][1] for u in uniq], np.float64)
+        ssf = np.array([st[u][2] for u in uniq], np.float64)
+        mean = sf / nf
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (ssf - sf * sf / nf) / (nf - 1.0)
+            z = (x - mean[inv]) / np.sqrt(var)[inv]
+        ok = (nf[inv] > 1) & (var[inv] > 0.0)
+        micro = np.sign(z) * np.floor(np.abs(z) * 1e6 + 0.5)
+        micro = np.where(ok, micro, 0.0).astype(np.int64)
+        return batch.append_column(out_col, pa.array(micro, pa.int64()))
+
+    return ds.map_batches(normalize, batch_format="pyarrow", num_cpus=1)
+
+
+def zscore_sql(key_col: str, val_col: str, table: str = "documents",
+               out_col: str = "z_micro",
+               select_cols: tuple = ("doc_id",)) -> str:
+    """The identical pinned-IEEE z-score as a SQL query fragment."""
+    sel = ", ".join(f"t.{c}" for c in (*select_cols, key_col, val_col))
+    return f"""
+        WITH m AS (
+          SELECT {key_col},
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum({val_col}) AS BIGINT) AS s,
+                 CAST(sum({val_col} * {val_col}) AS BIGINT) AS ss
+          FROM {table} GROUP BY {key_col})
+        SELECT {sel},
+               CAST(CASE WHEN m.n <= 1 OR
+                         (CAST(m.ss AS DOUBLE)
+                          - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE)
+                            / m.n) / (m.n - 1) <= 0.0
+                    THEN 0
+                    ELSE round(
+                      (CAST(t.{val_col} AS DOUBLE)
+                       - CAST(m.s AS DOUBLE) / m.n)
+                      / sqrt((CAST(m.ss AS DOUBLE)
+                              - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE)
+                                / m.n) / (m.n - 1)) * 1e6)
+                    END AS BIGINT) AS {out_col}
+        FROM {table} t JOIN m USING ({key_col})"""

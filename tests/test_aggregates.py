@@ -171,3 +171,40 @@ def test_bloom_sketch_membership_and_merge(ray_session):
     np.bitwise_or.at(w, (bits >> np.uint64(6)).astype(np.int64),
                      np.uint64(1) << (bits & np.uint64(63)))
     assert (w.view(np.int64) == words1).all()
+
+
+def test_grouped_zscore_matches_direct(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dqm_ray.functions.skew import grouped_zscore
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "lang": np.repeat(["a", "b", "c"], 100),
+        "n_chars": rng.integers(10, 5000, 300).astype(np.int64),
+    })
+    # plus a singleton group and a zero-variance group
+    extra = pd.DataFrame({"doc_id": [300, 301, 302],
+                          "lang": ["solo", "flat", "flat"],
+                          "n_chars": [42, 7, 7]})
+    df = pd.concat([df, extra], ignore_index=True)
+    out = grouped_zscore(rd.from_pandas(df), key_col="lang",
+                         val_col="n_chars").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for lang, g in df.groupby("lang"):
+        x = g["n_chars"].to_numpy(dtype=np.float64)
+        sub = out[out["lang"] == lang].sort_values("doc_id")
+        if len(x) <= 1 or x.std(ddof=1) == 0:
+            assert (sub["z_micro"] == 0).all()
+            continue
+        z = (x - x.mean()) / x.std(ddof=1)
+        got = sub["z_micro"].to_numpy() / 1e6
+        assert np.abs(got - z).max() < 1e-5
+    # layout invariance
+    out2 = grouped_zscore(rd.from_pandas(df).repartition(5),
+                          key_col="lang", val_col="n_chars") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (out2["z_micro"].to_numpy()
+            == out["z_micro"].to_numpy()).all()
