@@ -1357,6 +1357,49 @@ def _q_canonical_docs(sf_dir: str):
     return canonical_docs(ds, dup_table)
 
 
+def _q_corpus_diff(sf_dir: str):
+    """Snapshot diff between two corpus generations (the audit step
+    between ingests): gen1 derives deterministically from documents —
+    doc_id%13==0 removed, %7==0 text+'!', %11==0 re-added under
+    id+10M with text+'+' — and the diff reports
+    added/removed/changed/same per id (incremental.py::corpus_diff)."""
+    import pyarrow.compute as pc
+
+    from dqm_ray.functions.incremental import corpus_diff
+
+    old = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = batch.column("text").combine_chunks()
+        keep = ids % 13 != 0
+        bumped = pc.binary_join_element_wise(
+            text, pa.array(np.where(ids % 7 == 0, "!", "")
+                           .astype(object), pa.string()), "")
+        g1 = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                       "text": bumped.cast(pa.string())}) \
+            .filter(pa.array(keep))
+        addm = ids % 11 == 0
+        added = pa.table({
+            "doc_id": pa.array(ids[addm] + 10_000_000, pa.int64()),
+            "text": pc.binary_join_element_wise(
+                text.filter(pa.array(addm)), "+", "").cast(pa.string()),
+        })
+        return pa.concat_tables([g1, added])
+
+    new = old.map_batches(derive, batch_format="pyarrow")
+    return corpus_diff(old, new)
+
+
+def _q_train_trigram_lm(sf_dir: str):
+    """Distributed char-trigram LM counting per lang (sparse composite
+    -code compaction; functions/lm.py::train_trigram_lm)."""
+    from dqm_ray.functions.lm import train_trigram_lm
+
+    ds = _docs(sf_dir, columns=["lang", "text"])
+    return train_trigram_lm(ds, top_k=20)
+
+
 def _q_zscore_chars(sf_dir: str):
     """Per-lang z-score normalization of n_chars — exact int64 group
     moments + pinned-IEEE float steps + half-away micro-units, so the
@@ -1900,6 +1943,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_decontam": _q_semantic_decontam,
         "trending": _q_trending,
         "zscore_chars": _q_zscore_chars,
+        "train_trigram_lm": _q_train_trigram_lm,
+        "corpus_diff": _q_corpus_diff,
     }
 
 
@@ -3525,6 +3570,22 @@ def oracle_sql() -> dict[str, str]:
             HAVING SUM(CASE WHEN sim >= {_SEM_THRESHOLD}
                        THEN 1 ELSE 0 END) > 0""",
         "zscore_chars": _zscore_oracle_sql(),
+        "corpus_diff": """
+            WITH gen1 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || '!'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 13 <> 0
+              UNION ALL
+              SELECT doc_id + 10000000, text || '+'
+              FROM documents WHERE doc_id % 11 = 0)
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text <> n.text THEN 'changed'
+                        ELSE 'same' END AS status
+            FROM documents o FULL OUTER JOIN gen1 n
+              ON o.doc_id = n.doc_id""",
         "trending": """
             SELECT window_start, event_type, n, rank FROM (
               SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -3650,5 +3711,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rn AS BIGINT) AS rank
             FROM (SELECT *, row_number() OVER (PARTITION BY lang
                        ORDER BY n DESC, c1, c2) AS rn
+                  FROM cnt) WHERE rn <= 20""",
+        "train_trigram_lm": """
+            WITH ch AS (
+              SELECT lang,
+                     unnest(list_transform(range(1, length(text) - 1),
+                       i -> struct_pack(
+                              a := unicode(substr(text, i, 1)),
+                              b := unicode(substr(text, i + 1, 1)),
+                              c := unicode(substr(text, i + 2, 1)))))
+                         AS p
+              FROM documents),
+            cnt AS (SELECT lang, p.a AS c1, p.b AS c2, p.c AS c3,
+                           count(*) AS n
+                    FROM ch
+                    WHERE p.a BETWEEN 0 AND 127
+                      AND p.b BETWEEN 0 AND 127
+                      AND p.c BETWEEN 0 AND 127
+                    GROUP BY 1, 2, 3, 4)
+            SELECT lang, CAST(c1 AS BIGINT) AS c1,
+                   CAST(c2 AS BIGINT) AS c2, CAST(c3 AS BIGINT) AS c3,
+                   n, CAST(rn AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                       ORDER BY n DESC, c1, c2, c3) AS rn
                   FROM cnt) WHERE rn <= 20""",
     }

@@ -98,3 +98,80 @@ def train_bigram_lm(ds, *, text_col: str = "text",
     # bounded groups: one per lang, <= V*V rows each
     return counts.groupby(lang_col).map_groups(finish,
                                                batch_format="pandas")
+
+
+def train_trigram_lm(ds, *, text_col: str = "text",
+                     lang_col: str = "lang", top_k: int | None = 20):
+    """Per-lang char-TRIGRAM counts (the next n-gram order of
+    :func:`train_bigram_lm`; same ASCII-triple byte==codepoint proof —
+    three consecutive bytes < 128 are exactly three consecutive ASCII
+    codepoints). The trigram space is sparse, so per-batch partials
+    compact via ``np.unique`` over composite codes instead of a dense
+    V^3 bincount; the shuffle carries one (lang, code, n) row per
+    distinct batch trigram. Returns (lang, c1, c2, c3, n[, rank]);
+    ties: c1, c2, c3 ASC."""
+    from ray.data.aggregate import Sum
+
+    from dqm_ray.stages.rules import string_buffer_view
+
+    V3, V2 = V * V * V, V * V
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column(lang_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(langs, return_inverse=True)
+        text = batch.column(text_col).combine_chunks()
+        empty = pa.table({lang_col: pa.array([], pa.string()),
+                          "code": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        view = string_buffer_view(text)
+        if view is None:
+            vals = text.to_pylist()
+            rows = [(li, np.frombuffer((t or "").encode(), np.uint8)
+                     .astype(np.int64)) for li, t in zip(inv, vals) if t]
+            if not rows:
+                return empty
+            li_all = np.concatenate(
+                [np.full(len(b), li, np.int64) for li, b in rows])
+            d = np.concatenate([b for _, b in rows])
+            offs = np.cumsum([0] + [len(b) for _, b in rows])
+            offs = np.asarray(offs, np.int64)
+        else:
+            d, offs = view
+            d = d.astype(np.int64)
+            offs = offs.astype(np.int64)
+            li_all = np.repeat(inv.astype(np.int64), np.diff(offs))
+        if len(d) < 3:
+            return empty
+        a, b, c = d[:-2], d[1:-1], d[2:]
+        la = li_all[:-2]
+        starts = np.zeros(len(d), bool)
+        starts[offs[:-1][offs[:-1] < len(d)]] = True
+        # valid: all three bytes ASCII, triple inside ONE document
+        ok = (a < V) & (b < V) & (c < V) & ~starts[1:-1] & ~starts[2:]
+        code = la[ok] * V3 + a[ok] * V2 + b[ok] * V + c[ok]
+        u, cnt = np.unique(code, return_counts=True)
+        return pa.table({
+            lang_col: pa.array(uniq[u // V3]),
+            "code": pa.array(u % V3, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            num_cpus=1) \
+        .groupby([lang_col, "code"]).aggregate(Sum("n", alias_name="n"))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        code = g["code"].to_numpy()
+        g["c1"] = code // V2
+        g["c2"] = (code // V) % V
+        g["c3"] = code % V
+        g = g.sort_values(["n", "c1", "c2", "c3"],
+                          ascending=[False, True, True, True])
+        if top_k is not None:
+            g = g.head(top_k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[[lang_col, "c1", "c2", "c3", "n", "rank"]]
+
+    return counts.groupby(lang_col).map_groups(finish,
+                                               batch_format="pandas")

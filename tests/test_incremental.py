@@ -147,3 +147,24 @@ def test_incremental_neardup_threshold_gate(ray_session, tmpidx):
                                num_buckets=4, threshold=0.8,
                                workdir=tmpidx + "_w").to_pandas()
     assert kept["doc_id"].tolist() == [100]
+
+
+def test_corpus_diff_verdicts(ray_session):
+    import ray.data as rd
+
+    from dqm_ray.functions.incremental import corpus_diff
+
+    old = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [f"doc {i}" for i in range(6)]})
+    new = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2, 4, 9], np.int64),
+        "text": ["doc 0", "doc 1 EDITED", "doc 2", "doc 4", "brand new"]})
+    out = corpus_diff(rd.from_pandas(old), rd.from_pandas(new),
+                      n_parts=4).to_pandas().set_index("doc_id")
+    assert out.loc[0, "status"] == "same"
+    assert out.loc[1, "status"] == "changed"
+    assert out.loc[3, "status"] == "removed"
+    assert out.loc[5, "status"] == "removed"
+    assert out.loc[9, "status"] == "added"
+    assert len(out) == 7

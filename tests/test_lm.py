@@ -128,3 +128,32 @@ def test_perplexity_buckets_end_to_end(ray_session):
     # doc 4 at rank 7 (closing bucket 2) and docs 5-7 in the tail
     assert out.loc[4, "bucket"] == 2
     assert (out.loc[5:7, "bucket"] == 3).all()
+
+
+def test_train_trigram_lm_matches_naive(ray_session):
+    """Trigram counts == a naive per-codepoint Counter (incl. unicode
+    exclusion and doc-boundary masking)."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from dqm_ray.functions.lm import train_trigram_lm
+
+    texts = ["abcabcab", "xyz", "a", "", "caféabc", "abc"]
+    langs = ["en", "en", "en", "de", "de", "de"]
+    df = pd.DataFrame({"lang": langs, "text": texts})
+    out = train_trigram_lm(rd.from_pandas(df), top_k=None).to_pandas()
+    naive = Counter()
+    for lang, t in zip(langs, texts):
+        cps = [ord(ch) for ch in t]
+        for i in range(len(cps) - 2):
+            tri = cps[i:i + 3]
+            if all(c < 128 for c in tri):
+                naive[(lang, *tri)] += 1
+    got = {(r.lang, r.c1, r.c2, r.c3): r.n for r in out.itertuples()}
+    assert got == dict(naive)
+    # rank contract: n desc then (c1,c2,c3) asc within lang
+    for lang, g in out.groupby("lang"):
+        g = g.sort_values("rank")
+        keys = list(zip(-g["n"], g["c1"], g["c2"], g["c3"]))
+        assert keys == sorted(keys)
