@@ -1357,6 +1357,20 @@ def _q_canonical_docs(sf_dir: str):
     return canonical_docs(ds, dup_table)
 
 
+def _q_project_embeddings(sf_dir: str):
+    """Random-projection dimensionality reduction (J-L shape): fixed
+    seeded Gaussian matrix, one matmul per batch, unpivoted output
+    (similarity.py::project_embeddings); the oracle reads the same
+    exported matrix."""
+    import ray.data as rd
+
+    from dqm_ray.functions.similarity import project_embeddings
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return project_embeddings(ds, out_dim=16, seed=17)
+
+
 def _q_corpus_diff(sf_dir: str):
     """Snapshot diff between two corpus generations (the audit step
     between ingests): gen1 derives deterministically from documents —
@@ -1945,6 +1959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_chars": _q_zscore_chars,
         "train_trigram_lm": _q_train_trigram_lm,
         "corpus_diff": _q_corpus_diff,
+        "project_embeddings": _q_project_embeddings,
     }
 
 
@@ -2402,6 +2417,43 @@ def _incremental_neardup_oracle_sql(num_perm: int = 128, bands: int = 16,
         SELECT doc_id, lang, n_chars FROM documents
         WHERE doc_id % 2 = 1
           AND doc_id NOT IN (SELECT new_id FROM dups)"""
+
+
+_EMB_PROJ_PARQUET = os.path.join(_CACHE, "emb_proj_v1.parquet")
+
+
+def _ensure_emb_proj_parquet() -> str:
+    """Materialize project_embeddings' seeded Gaussian matrix (seed 17,
+    same rng call order) as a (d 1-based, p, v) parquet for the SQL
+    twin."""
+    if not os.path.exists(_EMB_PROJ_PARQUET):
+        import pyarrow.parquet as pq
+
+        first = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                              columns=["embedding"]).column("embedding")[0]
+        n_dim, out_dim = len(first), 16
+        h = np.random.default_rng(17).standard_normal((n_dim, out_dim))
+        d_idx, p_idx = np.meshgrid(np.arange(1, n_dim + 1),
+                                   np.arange(out_dim), indexing="ij")
+        os.makedirs(_CACHE, exist_ok=True)
+        tmp = _EMB_PROJ_PARQUET + f".tmp{os.getpid()}"
+        pq.write_table(pa.table({
+            "d": pa.array(d_idx.ravel(), pa.int32()),
+            "p": pa.array(p_idx.ravel(), pa.int32()),
+            "v": pa.array(h.ravel(), pa.float64()),
+        }), tmp)
+        os.replace(tmp, _EMB_PROJ_PARQUET)
+    return _EMB_PROJ_PARQUET
+
+
+def _project_oracle_sql() -> str:
+    return f"""
+        SELECT e.vec_id, CAST(m.p AS BIGINT) AS p,
+               round(SUM(CAST(e.embedding[CAST(m.d AS INT)] AS DOUBLE)
+                         * m.v), 6) AS value
+        FROM embeddings e
+        JOIN read_parquet('{_ensure_emb_proj_parquet()}') m ON true
+        GROUP BY e.vec_id, m.p"""
 
 
 _EMB_PLANES_PARQUET = os.path.join(_CACHE, "emb_planes_v1.parquet")
@@ -3570,6 +3622,7 @@ def oracle_sql() -> dict[str, str]:
             HAVING SUM(CASE WHEN sim >= {_SEM_THRESHOLD}
                        THEN 1 ELSE 0 END) > 0""",
         "zscore_chars": _zscore_oracle_sql(),
+        "project_embeddings": _project_oracle_sql(),
         "corpus_diff": """
             WITH gen1 AS (
               SELECT doc_id,

@@ -656,3 +656,43 @@ def knn_ivf_quantized(index_dir: str, query_ids, query_mat, k: int = 10,
     df = df.groupby("query_id", as_index=False).head(k)
     df["rank"] = df.groupby("query_id").cumcount() + 1
     return df.reset_index(drop=True)
+
+
+def project_embeddings(ds, *, vec_col: str = "embedding",
+                       id_col: str = "vec_id", out_dim: int = 16,
+                       seed: int = 17, round_to: int = 6):
+    """Random-projection dimensionality reduction (Johnson-Lindenstrauss
+    shape): one fixed seeded Gaussian matrix broadcasts via the closure,
+    one matmul per batch, unpivoted (id, p, value round(round_to))
+    output so the driver compare needs no list hashing. Embarrassingly
+    parallel, zero shuffle — the cheap precursor to ANN/clustering when
+    the raw dim is too wide. The projection matrix is also exported by
+    the oracle (same rng seed) so SQL reproduces the values to the
+    rounding bound."""
+    proj = np.random.default_rng(seed) \
+        .standard_normal((_probe_dim(ds, vec_col), out_dim))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        mat = _emb_matrix(batch.column(vec_col), n)
+        out = mat @ proj
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, out_dim), pa.int64()),
+            "p": pa.array(np.tile(np.arange(out_dim, dtype=np.int64), n)),
+            "value": pa.array(np.round(out, round_to).ravel(),
+                              pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", num_cpus=1)
+
+
+def _probe_dim(ds, vec_col: str) -> int:
+    """Vector width from the schema (fixed-size list) or one row."""
+    t = ds.schema().base_schema.field(vec_col).type
+    size = getattr(t, "list_size", None)
+    if size and size > 0:
+        return size
+    row = ds.limit(1).take_all()
+    return len(row[0][vec_col])

@@ -293,3 +293,39 @@ def test_semantic_decontam_flags_paraphrase_neighbors(ray_session):
     assert out.loc[0, "n_matched"] == 1
     assert out.loc[0, "max_cosine"] > 0.99
     assert out.loc[1, "n_matched"] == 2       # cos 45deg ~= 0.707 to both
+
+
+def test_project_embeddings_preserves_distances(ray_session):
+    """J-L sanity: projected pairwise distances correlate with the
+    originals; output is layout-invariant and exactly reproducible."""
+    import ray.data as rd
+
+    from dqm_ray.functions.similarity import project_embeddings
+
+    rng = np.random.default_rng(0)
+    n, d = 60, 64
+    # clustered data with real distance structure (isotropic Gaussian
+    # distances concentrate, leaving nothing to correlate)
+    centers = rng.standard_normal((4, d)) * np.array([[1], [3], [6], [12]])
+    mat = (centers[np.arange(n) % 4]
+           + 0.3 * rng.standard_normal((n, d))).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32(), d)),
+    })
+    out = project_embeddings(rd.from_arrow(tbl), out_dim=16, seed=17) \
+        .to_pandas().sort_values(["vec_id", "p"])
+    proj = out["value"].to_numpy().reshape(n, 16)
+    a = np.linalg.norm(mat[:30, None, :].astype(np.float64)
+                       - mat[None, :30, :], axis=2).ravel()
+    b = np.linalg.norm(proj[:30, None, :] - proj[None, :30, :],
+                       axis=2).ravel()
+    keep = a > 0
+    corr = np.corrcoef(a[keep], b[keep])[0, 1]
+    assert corr > 0.5
+    out2 = project_embeddings(rd.from_arrow(tbl).repartition(4),
+                              out_dim=16, seed=17).to_pandas() \
+        .sort_values(["vec_id", "p"])
+    assert (out2["value"].to_numpy()
+            == out["value"].to_numpy()).all()
