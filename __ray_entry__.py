@@ -2422,6 +2422,19 @@ def _incremental_neardup_oracle_sql(num_perm: int = 128, bands: int = 16,
 _EMB_PROJ_PARQUET = os.path.join(_CACHE, "emb_proj_v1.parquet")
 
 
+def _embedding_dim() -> int:
+    """Vector width probed from whichever test-scale embeddings table
+    exists (all scales share one dim by the fixture contract)."""
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.01", "sf0.001", "sf0.1"):
+        p = f"/root/testdata/{sf}/embeddings.parquet"
+        if os.path.exists(p):
+            return len(pq.read_table(p, columns=["embedding"])
+                       .column("embedding")[0])
+    raise FileNotFoundError("no embeddings.parquet under /root/testdata")
+
+
 def _ensure_emb_proj_parquet() -> str:
     """Materialize project_embeddings' seeded Gaussian matrix (seed 17,
     same rng call order) as a (d 1-based, p, v) parquet for the SQL
@@ -2429,9 +2442,7 @@ def _ensure_emb_proj_parquet() -> str:
     if not os.path.exists(_EMB_PROJ_PARQUET):
         import pyarrow.parquet as pq
 
-        first = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
-                              columns=["embedding"]).column("embedding")[0]
-        n_dim, out_dim = len(first), 16
+        n_dim, out_dim = _embedding_dim(), 16
         h = np.random.default_rng(17).standard_normal((n_dim, out_dim))
         d_idx, p_idx = np.meshgrid(np.arange(1, n_dim + 1),
                                    np.arange(out_dim), indexing="ij")
@@ -2465,9 +2476,7 @@ def _ensure_emb_planes_parquet() -> str:
     if not os.path.exists(_EMB_PLANES_PARQUET):
         import pyarrow.parquet as pq
 
-        first = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
-                              columns=["embedding"]).column("embedding")[0]
-        n_dim = len(first)
+        n_dim = _embedding_dim()
         rng = np.random.default_rng(13)
         h = rng.standard_normal((n_dim, 4))
         d_idx, p_idx = np.meshgrid(np.arange(1, n_dim + 1), np.arange(4),

@@ -79,6 +79,8 @@ def build_bloom(ds, *, key_col: str, m_bits: int = 1 << 20,
     res = ds.aggregate(BloomSketch(key_col, m_bits=m_bits,
                                    k_hashes=k_hashes, seed=seed,
                                    alias_name="bloom"))
+    if res is None or res.get("bloom") is None:  # empty dataset
+        return np.zeros(m_bits // 64, dtype=np.int64)
     return np.asarray(res["bloom"], dtype=np.int64)
 
 

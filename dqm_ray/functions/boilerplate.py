@@ -115,9 +115,8 @@ def _doc_distinct_counts(codes: np.ndarray, rows: np.ndarray,
 
 def _reduce_pair_counts(h1: np.ndarray, h2: np.ndarray, n: np.ndarray,
                         min_docs: int):
-    """Sum partial doc-counts per (h1, h2) pair and keep pairs crossing
-    the threshold. Returns (h1_keep, h2_keep, starts, order) — starts/
-    order let callers regroup companion columns by the same pairs."""
+    """Sum partial doc-counts per (h1, h2) pair; return the pairs
+    crossing the threshold as (h1_keep, h2_keep)."""
     order = np.lexsort((h2, h1))
     h1s, h2s, ns = h1[order], h2[order], n[order]
     first = np.ones(len(h1s), dtype=bool)
@@ -126,7 +125,7 @@ def _reduce_pair_counts(h1: np.ndarray, h2: np.ndarray, n: np.ndarray,
     tot = (np.add.reduceat(ns, starts) if len(starts)
            else np.empty(0, np.int64))
     keep = tot >= min_docs
-    return h1s[starts][keep], h2s[starts][keep], starts, order, keep
+    return h1s[starts][keep], h2s[starts][keep]
 
 
 def _probe_pairs(a1: np.ndarray, a2: np.ndarray,
@@ -183,7 +182,7 @@ def remove_boilerplate_lines(ds, *, text_col: str = "text",
             "n": pa.array(n_docs, pa.int64())})
 
     def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        k1, k2, *_ = _reduce_pair_counts(
+        k1, k2 = _reduce_pair_counts(
             df["h1"].to_numpy(), df["h2"].to_numpy(),
             df["n"].to_numpy(), min_docs)
         return pd.DataFrame({"h1": k1, "h2": k2})
@@ -264,12 +263,17 @@ def remove_boilerplate_lines_bucketed(ds, workdir: str, *,
     Returns the same (id_col, text, n_removed) dataset.
     """
     import os
+    import shutil
 
     import pyarrow.dataset as pads
     import ray.data as rd
 
     from dqm_ray.sources.bucketed import bucket_of
 
+    # reruns must not read a stale generation next to the new files
+    # (write_parquet APPENDS uniquely-named files into existing dirs)
+    if os.path.isdir(workdir):
+        shutil.rmtree(workdir)
     docs_dir = os.path.join(workdir, "docs")
     rm_dir = os.path.join(workdir, "removals")
 

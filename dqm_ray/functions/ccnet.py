@@ -112,7 +112,11 @@ def perplexity_buckets(ds, logq: np.ndarray, *, text_col: str = "text",
             "ppl_micro": pa.array(micro, pa.int64()),
         })
 
-    scored = ds.map_batches(score, batch_format="pyarrow", num_cpus=1)
+    # materialize: three consumers follow (bin-edge aggregate, count
+    # pass, rank pass) — without this the scoring content pass would
+    # re-execute for each. Blocks are 3 ints/doc, tiny.
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            num_cpus=1).materialize()
 
     from dqm_ray.functions.scan import _bin_edges, _bin_of
 

@@ -80,6 +80,8 @@ class MediaDecodeStage:
         # (zero-copy; no per-row to_pylist). Template for a real decoder:
         # only the codec call itself is legitimately per-row.
         col = batch.column("payload").combine_chunks()
+        if pa.types.is_binary(col.type):  # int32 offsets: promote so
+            col = col.cast(pa.large_binary())  # the int64 view is valid
         n = len(col)
         off = np.frombuffer(col.buffers()[1], np.int64)[
             col.offset:col.offset + n + 1]
@@ -139,6 +141,8 @@ class FrameSampleStage:
                 "frame_idx": pa.array([], pa.int32()),
                 "frame_feature": pa.array([], pa.float64())})
         col = vids.column("payload").combine_chunks()
+        if pa.types.is_binary(col.type):
+            col = col.cast(pa.large_binary())
         off = np.frombuffer(col.buffers()[1], np.int64)[
             col.offset:col.offset + n + 1]
         dbuf = col.buffers()[2]

@@ -76,6 +76,14 @@ def test_boilerplate_bucketed_matches_broadcast(ray_session, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert (b["n_removed"].to_numpy()[:12] == 2).all()
+    # rerunning with the SAME workdir must not read the stale
+    # generation next to the new files (write_parquet appends)
+    c = remove_boilerplate_lines_bucketed(
+        _ds(tbl), str(tmp_path / "bp"), text_col="text",
+        id_col="doc_id", min_len=10, min_docs=10,
+        num_buckets=4, num_parts=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, c)
 
 
 def test_boilerplate_noop_below_threshold(ray_session):
