@@ -23,8 +23,18 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from dqm_ray.aggregates import AggregateFnV2, _column
+from dqm_ray.aggregates import AggregateFnV2
 from dqm_ray.functions.sampling import _M64, SAMPLE_A, _offset
+
+
+def _int_column(block, col: str) -> np.ndarray:
+    """Exact int64 key extraction — aggregates._column float-casts,
+    which silently corrupts 64-bit hash keys beyond 2^53."""
+    if isinstance(block, pa.Table):
+        arr = block.column(col).to_numpy(zero_copy_only=False)
+    else:  # pandas
+        arr = block[col].to_numpy()
+    return np.asarray(arr).astype(np.int64)
 
 SAMPLE_B = 0xC2B2AE3D27D4EB4F  # second odd multiplier (double hashing)
 
@@ -56,7 +66,7 @@ class BloomSketch(AggregateFnV2):
                          on=on, ignore_nulls=True)
 
     def aggregate_block(self, block):
-        keys = _column(block, self._target_col_name)
+        keys = _int_column(block, self._target_col_name)
         bits = bloom_bit_positions(keys, m_bits=self._m,
                                    k_hashes=self._k, seed=self._seed) \
             .ravel().view(np.uint64)

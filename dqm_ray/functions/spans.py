@@ -40,6 +40,37 @@ import pyarrow as pa
 DEFAULT_SPAN_K = 20
 
 
+def _apply_cuts(text: pa.Array, rows: np.ndarray, locs: np.ndarray,
+                k: int):
+    """Delete the union of byte spans [loc, loc+k) (one per (row, loc)
+    flag) from a string array via one diff+cumsum pass over the raw
+    buffer; returns (cleaned LargeStringArray, removed_bytes_per_row)."""
+    from dqm_ray.stages.rules import string_buffer_view
+
+    view = string_buffer_view(text)
+    if view is None:  # nulls: normalize to '' then re-view
+        text = pa.array([(t or "") for t in text.to_pylist()],
+                        pa.large_string())
+        view = string_buffer_view(text)
+    data, offs = view
+    n = len(text)
+    byte_lens = np.diff(offs)
+    g_start = offs[:-1][rows] + locs
+    delta = np.zeros(len(data) + k + 1, np.int64)
+    np.add.at(delta, g_start, 1)
+    np.add.at(delta, g_start + k, -1)
+    cover = np.cumsum(delta[:len(data)]) > 0
+    kept = data[~cover]
+    cumcov = np.zeros(len(data) + 1, np.int64)
+    np.cumsum(cover.astype(np.int64), out=cumcov[1:])
+    removed = cumcov[offs[1:]] - cumcov[offs[:-1]]
+    new_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(byte_lens - removed, out=new_offs[1:])
+    cleaned = pa.LargeStringArray.from_buffers(
+        n, pa.py_buffer(new_offs.tobytes()), pa.py_buffer(kept.tobytes()))
+    return cleaned, removed
+
+
 def dedup_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
                 k: int = DEFAULT_SPAN_K, batch_size: int = 512):
     """Returns (id_col, text, n_cut): every doc with globally-repeated
@@ -100,26 +131,8 @@ def dedup_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
             flag = (gs[pos] == grams) & (ws[pos] < packed) & valid
         else:
             flag = np.zeros(len(grams), bool)
-        view = string_buffer_view(text)
-        if view is None:  # nulls: normalize to '' then re-view
-            text = pa.array([(t or "") for t in text.to_pylist()],
-                            pa.large_string())
-            view = string_buffer_view(text)
-        data, offs = view
-        g_start = offs[:-1][doc_idx[flag]] + local[flag]
-        delta = np.zeros(len(data) + k + 1, np.int64)
-        np.add.at(delta, g_start, 1)
-        np.add.at(delta, g_start + k, -1)
-        cover = np.cumsum(delta[:len(data)]) > 0
-        kept = data[~cover]
-        cumcov = np.zeros(len(data) + 1, np.int64)
-        np.cumsum(cover.astype(np.int64), out=cumcov[1:])
-        removed = cumcov[offs[1:]] - cumcov[offs[:-1]]
-        new_offs = np.zeros(n + 1, np.int64)
-        np.cumsum(byte_lens - removed, out=new_offs[1:])
-        cleaned = pa.LargeStringArray.from_buffers(
-            n, pa.py_buffer(new_offs.tobytes()),
-            pa.py_buffer(kept.tobytes()))
+        cleaned, removed = _apply_cuts(text, doc_idx[flag],
+                                       local[flag], k)
         return pa.table({
             id_col: batch.column(id_col),
             "text": cleaned.cast(pa.string()),
@@ -128,3 +141,195 @@ def dedup_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     return ds.map_batches(cut, batch_format="pyarrow",
                           batch_size=batch_size, num_cpus=1)
+
+
+def dedup_spans_bucketed(ds, workdir: str, *, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         k: int = DEFAULT_SPAN_K,
+                         num_buckets: int = 16,
+                         bloom_bits: int = 1 << 22,
+                         bloom_hashes: int = 4):
+    """Zero-BROADCAST span dedup — identical cut semantics to
+    :func:`dedup_spans`, but the winner map never leaves disk, so the
+    chars/k x 16 B broadcast bound disappears. The composition that
+    makes it affordable is a Bloom prefilter over the winner
+    fingerprints (functions/bloom.py): only probe positions whose gram
+    passes the filter (true repeats + the documented false-positive
+    trickle) are shuffled to the winner buckets; everything else never
+    leaves its task.
+
+    Shape:
+
+    1. docs written hive-bucketed by ``bucket_of(id)`` (one content
+       write — the paragraphs-bucketed resume layout);
+    2. anchor pass -> ``groupby.min`` packed winners -> written
+       hive-bucketed by ``bucket_of(gram)``; one extra tiny aggregate
+       builds the winner Bloom (m/8 bytes broadcast — bits, not the
+       map);
+    3. probe pass re-scans content, keeps Bloom-surviving positions,
+       writes (gram, packed) rows into the SAME gram-bucket layout;
+    4. one task per gram bucket sort-merges winners x probes into
+       removal positions, written hive-bucketed by doc bucket;
+    5. one task per doc bucket applies the positional span cuts
+       (_apply_cuts — no text probe at all).
+
+    Returns the same (id_col, text, n_cut) dataset."""
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from dqm_ray.functions.bloom import (bloom_bit_positions,
+                                         build_bloom)
+    from dqm_ray.functions.dedup import batch_gram_hashes
+    from dqm_ray.sources.bucketed import bucket_of
+    from dqm_ray.stages.rules import string_buffer_view
+
+    if os.path.isdir(workdir):  # stale generations must not be read
+        shutil.rmtree(workdir)
+    docs_dir = os.path.join(workdir, "docs")
+    win_dir = os.path.join(workdir, "winners")
+    probe_dir = os.path.join(workdir, "probes")
+    rm_dir = os.path.join(workdir, "removals")
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.append_column(
+            "bucket", pa.array(bucket_of(ids, num_buckets), pa.int32()))
+
+    ds.map_batches(add_doc_bucket, batch_format="pyarrow",
+                   num_cpus=1).write_parquet(
+        docs_dir, partition_cols=["bucket"])
+
+    def grams_of(batch: pa.Table):
+        text = batch.column(text_col).combine_chunks()
+        grams, starts, counts = batch_gram_hashes(text, k)
+        n = len(batch)
+        view = string_buffer_view(text)
+        byte_lens = (np.diff(view[1]) if view is not None else
+                     np.array([len((t or "").encode())
+                               for t in text.to_pylist()], np.int64))
+        short = byte_lens < k
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        local = np.arange(len(grams), dtype=np.int64) \
+            - np.repeat(starts, counts)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        packed = (ids[doc_idx] << 32) | local
+        valid = ~short[doc_idx]
+        return grams, local, packed, valid
+
+    def anchor_partial(batch: pa.Table) -> pa.Table:
+        grams, local, packed, valid = grams_of(batch)
+        m = valid & (local % k == 0)
+        return pa.table({
+            "gram": pa.array(grams[m].view(np.int64), pa.int64()),
+            "packed": pa.array(packed[m], pa.int64()),
+        })
+
+    winners = ds.map_batches(anchor_partial, batch_format="pyarrow",
+                             num_cpus=1) \
+        .groupby("gram").aggregate(Min("packed", alias_name="w")) \
+        .materialize()  # two consumers: bucket write + bloom build
+
+    def add_gram_bucket(batch: pa.Table) -> pa.Table:
+        g = batch.column("gram").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "gbucket", pa.array(bucket_of(g, num_buckets), pa.int32()))
+
+    winners.map_batches(add_gram_bucket, batch_format="pyarrow",
+                        num_cpus=1) \
+        .write_parquet(win_dir, partition_cols=["gbucket"])
+    words = build_bloom(winners, key_col="gram", m_bits=bloom_bits,
+                        k_hashes=bloom_hashes)
+    words_ref = ray.put(
+        np.ascontiguousarray(words, np.int64).view(np.uint64))
+
+    def probe_partial(batch: pa.Table) -> pa.Table:
+        ww = ray.get(words_ref)
+        grams, _local, packed, valid = grams_of(batch)
+        gi = grams.view(np.int64)
+        bits = bloom_bit_positions(gi, m_bits=bloom_bits,
+                                   k_hashes=bloom_hashes) \
+            .view(np.uint64)
+        hit = ((ww[(bits >> np.uint64(6)).astype(np.int64)]
+                >> (bits & np.uint64(63))) & np.uint64(1)) \
+            .all(axis=1) & valid
+        return pa.table({
+            "gram": pa.array(gi[hit], pa.int64()),
+            "packed": pa.array(packed[hit], pa.int64()),
+            "gbucket": pa.array(
+                bucket_of(gi[hit], num_buckets), pa.int32()),
+        })
+
+    ds.map_batches(probe_partial, batch_format="pyarrow", num_cpus=1) \
+        .write_parquet(probe_dir, partition_cols=["gbucket"])
+
+    def removals_one(batch: pa.Table) -> pa.Table:
+        out_p = []
+        for i in batch.column("id").to_pylist():
+            wb = os.path.join(win_dir, f"gbucket={i}")
+            pb = os.path.join(probe_dir, f"gbucket={i}")
+            if not (os.path.isdir(wb) and os.path.isdir(pb)):
+                continue
+            wt = pads.dataset(wb).to_table()
+            pt = pads.dataset(pb).to_table()
+            wg = wt.column("gram").to_numpy(zero_copy_only=False)
+            ww = wt.column("w").to_numpy(zero_copy_only=False)
+            order = np.argsort(wg.view(np.uint64), kind="stable")
+            wg_s, ww_s = wg[order], ww[order]
+            pg = pt.column("gram").to_numpy(zero_copy_only=False)
+            pp = pt.column("packed").to_numpy(zero_copy_only=False)
+            pos = np.minimum(
+                np.searchsorted(wg_s.view(np.uint64),
+                                pg.view(np.uint64)), len(wg_s) - 1)
+            flag = (wg_s[pos] == pg) & (ww_s[pos] < pp)
+            out_p.append(pp[flag])
+        pp_all = (np.concatenate(out_p) if out_p
+                  else np.empty(0, np.int64))
+        return pa.table({
+            "packed": pa.array(pp_all, pa.int64()),
+            "bucket": pa.array(
+                bucket_of(pp_all >> 32, num_buckets), pa.int32()),
+        })
+
+    rd.range(num_buckets).map_batches(
+        removals_one, batch_format="pyarrow", batch_size=1,
+        num_cpus=1).write_parquet(rm_dir, partition_cols=["bucket"])
+
+    def cut_bucket(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for i in batch.column("id").to_pylist():
+            db = os.path.join(docs_dir, f"bucket={i}")
+            if not os.path.isdir(db):
+                continue
+            docs = pads.dataset(db).to_table()
+            rb = os.path.join(rm_dir, f"bucket={i}")
+            rm = (pads.dataset(rb).to_table().column("packed")
+                  .to_numpy(zero_copy_only=False)
+                  if os.path.isdir(rb) else np.empty(0, np.int64))
+            ids = docs.column(id_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            order = np.argsort(ids, kind="stable")
+            rm_ids = rm >> 32
+            rows = order[np.searchsorted(ids[order], rm_ids)] \
+                if len(rm) else np.empty(0, np.int64)
+            locs = rm & 0xFFFFFFFF
+            text = docs.column(text_col).combine_chunks()
+            cleaned, removed = _apply_cuts(text, rows, locs, k)
+            pieces.append(pa.table({
+                id_col: docs.column(id_col),
+                "text": cleaned.cast(pa.string()),
+                "n_cut": pa.array(removed, pa.int64())}))
+        if not pieces:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string()),
+                             "n_cut": pa.array([], pa.int64())})
+        return pa.concat_tables(pieces)
+
+    return rd.range(num_buckets).map_batches(
+        cut_bucket, batch_format="pyarrow", batch_size=1, num_cpus=1)

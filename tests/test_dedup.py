@@ -253,3 +253,37 @@ def test_dedup_spans_cuts_repeats(ray_session):
         .to_pandas().set_index("doc_id")
     for i in docs:
         assert out2.loc[i, "text"] == out.loc[i, "text"]
+
+
+def test_dedup_spans_bucketed_matches_broadcast(ray_session, tmp_path):
+    """Zero-broadcast bucketed span dedup (bloom-prefiltered probe,
+    positional cut) == the broadcast path, row for row; rerun with the
+    same workdir stays clean."""
+    import ray.data as rd
+
+    from dqm_ray.functions.spans import dedup_spans, dedup_spans_bucketed
+
+    k = 10
+    span = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789abcd"
+    docs = {
+        0: f"intro text one {span} outro text one",
+        1: f"totally different wrapper {span} and a tail here",
+        2: "short",
+        3: f"{span}xx{span}",
+        4: "no repeats in this document at all - unique words only",
+        5: f"another host page quoting {span} yet again with more",
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    a = dedup_spans(rd.from_pandas(df), k=k).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    wd = str(tmp_path / "spans")
+    b = dedup_spans_bucketed(rd.from_pandas(df), wd, k=k,
+                             num_buckets=4, bloom_bits=1 << 12) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    c = dedup_spans_bucketed(rd.from_pandas(df.sample(frac=1.0,
+                                                      random_state=1)),
+                             wd, k=k, num_buckets=4,
+                             bloom_bits=1 << 12) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, c)
