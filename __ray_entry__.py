@@ -844,6 +844,36 @@ def _q_jsonl_ingest(sf_dir: str):
     return out
 
 
+def _q_csv_ingest(sf_dir: str):
+    """Third wire format: documents exported once to CSV (cached,
+    atomic publish), re-read via ray.data.read_csv, reduced to the same
+    per-lang counts + char sums as the parquet-derived oracle — the
+    CSV source path loses nothing either."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    cdir = os.path.join(_CACHE, "docs_csv_" +
+                        hashlib.sha256(sf_dir.encode()).hexdigest()[:12])
+    if not os.path.isdir(cdir):
+        tmp = cdir + f".tmp{os.getpid()}"
+        _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]) \
+            .write_csv(tmp)
+        os.replace(tmp, cdir)
+    ds = rd.read_csv(cdir)
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang") \
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_chars", alias_name="sum_chars"))
+
+
 def _q_knn_quantized(sf_dir: str):
     """Quantized max-inner-product top-10 (int8 dots, two-multiply
     rescale — the 4x-bandwidth ANN path) for query vectors vec_id < 4;
@@ -1938,6 +1968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "knn_quantized": _q_knn_quantized,
         "jsonl_ingest": _q_jsonl_ingest,
+        "csv_ingest": _q_csv_ingest,
         "dataset_split": _q_dataset_split,
         "budget_sample": _q_budget_sample,
         "train_bigram_lm": _q_train_bigram_lm,
@@ -3740,6 +3771,10 @@ def oracle_sql() -> dict[str, str]:
         # oracle reads the PARQUET view — equality proves the JSONL
         # round-trip (write_json -> read_json) loses nothing.
         "jsonl_ingest": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang""",
+        "csv_ingest": """
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang""",
