@@ -171,3 +171,72 @@ def test_bin_of_monotone_across_full_int64_domain(keys):
     b = _bin_of(k, lo, width)
     assert (np.diff(b) >= 0).all()
     assert (b >= 0).all() and (b < N_BINS).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32,
+                                               max_codepoint=126),
+                        max_size=40), min_size=1, max_size=8),
+       st.integers(min_value=2, max_value=9),
+       st.data())
+def test_apply_cuts_equals_naive_string_surgery(texts, k, data):
+    """_apply_cuts (diff+cumsum over the raw buffer) == per-string
+    python span deletion, for arbitrary ASCII rows and arbitrary
+    in-range [loc, loc+k) cut sets (overlaps merge)."""
+    import pyarrow as pa
+
+    from dqm_ray.functions.spans import _apply_cuts
+
+    rows, locs = [], []
+    for i, t in enumerate(texts):
+        n_valid = max(len(t.encode()) - k + 1, 0)
+        if n_valid == 0:
+            continue
+        cuts = data.draw(st.lists(
+            st.integers(min_value=0, max_value=n_valid - 1), max_size=5))
+        rows += [i] * len(cuts)
+        locs += cuts
+    arr = pa.array(texts, pa.large_string())
+    cleaned, removed = _apply_cuts(
+        arr, np.array(rows, np.int64), np.array(locs, np.int64), k)
+    for i, t in enumerate(texts):
+        b = t.encode()
+        cover = np.zeros(len(b), bool)
+        for r, p in zip(rows, locs):
+            if r == i:
+                cover[p:p + k] = True
+        assert cleaned[i].as_py() == bytes(
+            np.frombuffer(b, np.uint8)[~cover]).decode()
+        assert removed[i] == int(cover.sum())
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=1, max_size=200),
+       st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=1, max_size=200))
+def test_bloom_bits_match_duckdb_sql(members, probes):
+    """bloom_bit_positions == the SQL expression bloom_sql_bit builds,
+    over the full int64 key domain (the _column float-cast trap lived
+    exactly here)."""
+    import duckdb
+
+    from dqm_ray.functions.bloom import bloom_bit_positions, bloom_sql_bit
+
+    m_bits, kh = 1 << 10, 3
+    keys = np.array(members + probes, np.int64)
+    # SQL side only matches for non-negative keys (CAST of a negative
+    # int64 differs from the uint64 view) — the repo's key contract
+    keys = np.abs(keys) % (2**63 - 1)
+    got = bloom_bit_positions(keys, m_bits=m_bits, k_hashes=kh)
+    con = duckdb.connect()
+    expr = bloom_sql_bit("k", "t.i", m_bits, seed=0)
+    sql = con.execute(
+        f"SELECT k, t.i, {expr} AS b FROM (SELECT unnest(?) AS k), "
+        f"unnest(range({kh})) t(i)", [keys.tolist()]).df()
+    ref = sql.sort_values(["k", "i"])
+    # group by key value (duplicates collapse to the same bits)
+    lookup = {(int(r.k), int(r.i)): int(r.b) for r in ref.itertuples()}
+    for j, key in enumerate(keys):
+        for i in range(kh):
+            assert got[j, i] == lookup[(int(key), i)]
