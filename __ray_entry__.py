@@ -1509,6 +1509,21 @@ def _q_dedup_spans(sf_dir: str):
     return dedup_spans(ds, k=_SPAN_K)
 
 
+def _q_webprep(sf_dir: str):
+    """Composed web-corpus prep (pipelines/webprep.py): exact span
+    dedup -> CCNet per-lang perplexity gate over the CLEANED text,
+    keeping head+middle — verified against ONE SQL program chaining
+    the span-cut and ntile CTEs."""
+    from dqm_ray.corpus import training_text
+    from dqm_ray.functions.ccnet import quantize_logp
+    from dqm_ray.pipelines.webprep import webprep
+    from dqm_ray.stages.scorer import VectorBigramModel
+
+    logq = quantize_logp(VectorBigramModel(training_text()).log_p)
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "text"])
+    return webprep(ds, logq, span_k=_SPAN_K)
+
+
 _BLOOM_M, _BLOOM_K, _BLOOM_SEED = 1 << 16, 4, 5
 
 
@@ -1969,6 +1984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_quantized": _q_knn_quantized,
         "jsonl_ingest": _q_jsonl_ingest,
         "csv_ingest": _q_csv_ingest,
+        "webprep": _q_webprep,
         "dataset_split": _q_dataset_split,
         "budget_sample": _q_budget_sample,
         "train_bigram_lm": _q_train_bigram_lm,
@@ -2818,6 +2834,63 @@ def _zscore_oracle_sql() -> str:
     return zscore_sql("lang", "n_chars")
 
 
+def _webprep_oracle_sql() -> str:
+    """The webprep chain as ONE SQL program: span-cut CTEs (cleaned
+    text + n_cut) -> integer perplexity over the cleaned text -> ntile
+    per lang -> keep head+middle."""
+    logq = _ensure_bigram_logq_parquet()
+    return f"""
+        WITH {_gram_ctes(_SPAN_K)},
+        anchors AS (
+          SELECT gram, min(doc_id * 4294967296 + i - 1) AS w
+          FROM pos_grams WHERE (i - 1) % {_SPAN_K} = 0 GROUP BY gram),
+        hits AS (
+          SELECT p.doc_id, p.i FROM pos_grams p
+          JOIN anchors a USING (gram)
+          WHERE a.w < p.doc_id * 4294967296 + p.i - 1),
+        cover AS (SELECT DISTINCT h.doc_id, h.i + t.d AS pos
+                  FROM hits h, unnest(range(0, {_SPAN_K})) t(d)),
+        agg AS (
+          SELECT b.doc_id,
+                 coalesce(string_agg(chr(b.b0), '' ORDER BY b.i)
+                          FILTER (WHERE c.pos IS NULL), '') AS text,
+                 CAST(count(c.pos) AS BIGINT) AS n_cut
+          FROM bytes b
+          LEFT JOIN cover c ON b.doc_id = c.doc_id AND b.i = c.pos
+          GROUP BY b.doc_id),
+        cleaned AS (
+          SELECT d.doc_id, d.lang, coalesce(a.text, '') AS text,
+                 coalesce(a.n_cut, 0) AS n_cut
+          FROM documents d LEFT JOIN agg a USING (doc_id)),
+        b2 AS (
+          SELECT doc_id,
+                 least(unicode(substr(text, CAST(t.i AS INT), 1)),
+                       127) AS c1,
+                 least(unicode(substr(text, CAST(t.i AS INT) + 1, 1)),
+                       127) AS c2
+          FROM cleaned, unnest(range(1, length(text))) AS t(i)),
+        ppl AS (
+          SELECT doc_id,
+                 CAST(round(CAST(-SUM(m.logq) AS DOUBLE)
+                            / (1000.0 * COUNT(*))) AS BIGINT)
+                     AS ppl_micro
+          FROM b2 JOIN read_parquet('{logq}') m
+               ON b2.c1 = m.c1 AND b2.c2 = m.c2
+          GROUP BY doc_id),
+        alld AS (
+          SELECT c.doc_id, c.lang, c.n_cut,
+                 COALESCE(p.ppl_micro, 0) AS ppl_micro
+          FROM cleaned c LEFT JOIN ppl p USING (doc_id)),
+        ranked AS (
+          SELECT doc_id, lang, n_cut, ppl_micro,
+                 CAST(ntile(3) OVER (PARTITION BY lang
+                                     ORDER BY ppl_micro, doc_id)
+                      AS BIGINT) AS bucket
+          FROM alld)
+        SELECT doc_id, lang, n_cut, ppl_micro, bucket
+        FROM ranked WHERE bucket <= 2"""
+
+
 def _bloom_oracle_sql() -> str:
     """Rebuild the identical Bloom filter in SQL: distinct set bits of
     the en-doc keys, then per-doc BOOL_AND over its k probe bits."""
@@ -3645,6 +3718,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_docs": _canonical_oracle_sql(),
         "bloom_probe": _bloom_oracle_sql(),
         "dedup_spans": _dedup_spans_oracle_sql(),
+        "webprep": _webprep_oracle_sql(),
         "semantic_decontam": f"""
             WITH bench AS (SELECT CAST(embedding AS DOUBLE[]) AS v
                            FROM embeddings WHERE vec_id % 2 = 0),

@@ -95,9 +95,12 @@ def _ntile(rank: np.ndarray, n: int, k: int) -> np.ndarray:
 
 def perplexity_buckets(ds, logq: np.ndarray, *, text_col: str = "text",
                        lang_col: str = "lang", id_col: str = "doc_id",
-                       n_buckets: int = 3, n_bins: int = N_BINS):
-    """Return (id_col, lang, ppl_micro, bucket): bucket 1 = head
-    (lowest perplexity) ... ``n_buckets`` = tail, per language."""
+                       n_buckets: int = 3, n_bins: int = N_BINS,
+                       carry_cols: tuple = ()):
+    """Return (id_col, lang[, carry_cols...], ppl_micro, bucket):
+    bucket 1 = head (lowest perplexity) ... ``n_buckets`` = tail, per
+    language. ``carry_cols`` ride through unchanged (for composition —
+    text itself is dropped so only small columns shuffle)."""
     import ray
 
     logq_ref = ray.put(np.ascontiguousarray(logq, dtype=np.int64))
@@ -106,11 +109,12 @@ def perplexity_buckets(ds, logq: np.ndarray, *, text_col: str = "text",
         lq = ray.get(logq_ref)
         texts = batch.column(text_col).to_pylist()
         micro = _ppl_micro_many([t or "" for t in texts], lq)
-        return pa.table({
-            id_col: batch.column(id_col),
-            lang_col: batch.column(lang_col),
-            "ppl_micro": pa.array(micro, pa.int64()),
-        })
+        cols = {id_col: batch.column(id_col),
+                lang_col: batch.column(lang_col)}
+        for c in carry_cols:
+            cols[c] = batch.column(c)
+        cols["ppl_micro"] = pa.array(micro, pa.int64())
+        return pa.table(cols)
 
     # materialize: three consumers follow (bin-edge aggregate, count
     # pass, rank pass) — without this the scoring content pass would

@@ -133,11 +133,11 @@ def dedup_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
             flag = np.zeros(len(grams), bool)
         cleaned, removed = _apply_cuts(text, doc_idx[flag],
                                        local[flag], k)
-        return pa.table({
-            id_col: batch.column(id_col),
-            "text": cleaned.cast(pa.string()),
-            "n_cut": pa.array(removed, pa.int64()),
-        })
+        # preserve every input column (text replaced in place) so the
+        # op composes inside larger pipelines (the paragraphs contract)
+        out = batch.set_column(batch.schema.get_field_index(text_col),
+                               text_col, cleaned.cast(pa.string()))
+        return out.append_column("n_cut", pa.array(removed, pa.int64()))
 
     return ds.map_batches(cut, batch_format="pyarrow",
                           batch_size=batch_size, num_cpus=1)
@@ -321,14 +321,15 @@ def dedup_spans_bucketed(ds, workdir: str, *, id_col: str = "doc_id",
             locs = rm & 0xFFFFFFFF
             text = docs.column(text_col).combine_chunks()
             cleaned, removed = _apply_cuts(text, rows, locs, k)
-            pieces.append(pa.table({
-                id_col: docs.column(id_col),
-                "text": cleaned.cast(pa.string()),
-                "n_cut": pa.array(removed, pa.int64())}))
+            out = docs.set_column(
+                docs.schema.get_field_index(text_col), text_col,
+                cleaned.cast(pa.string()))
+            pieces.append(out.append_column(
+                "n_cut", pa.array(removed, pa.int64())))
         if not pieces:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "text": pa.array([], pa.string()),
-                             "n_cut": pa.array([], pa.int64())})
+            sch = pads.dataset(docs_dir, partitioning="hive").schema
+            empty = sch.empty_table().drop(["bucket"])
+            return empty.append_column("n_cut", pa.array([], pa.int64()))
         return pa.concat_tables(pieces)
 
     return rd.range(num_buckets).map_batches(

@@ -1,0 +1,43 @@
+"""Composed web-corpus preparation: exact span dedup -> CCNet-style
+per-language quality gate — the round-3 operators chained into one
+pipeline with ONE SQL-program oracle (the corpus_prep pattern).
+
+    documents (doc_id, lang, text)
+      → dedup_spans            # cut globally-repeated k-spans
+      → perplexity_buckets     # over the CLEANED text (nano-quantized
+                               #  bigram LM, NTILE per lang)
+      → keep bucket <= keep_buckets   # head (+middle) survive
+
+Two content passes live inside dedup_spans, one more in the scoring
+pass; everything downstream of scoring moves (id, lang, ints) only.
+The gate is rank-based, so the kept fraction per language is exact by
+construction (the CCNet head/middle split, Wenzek et al. 2019).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def webprep(ds, logq: np.ndarray, *, id_col: str = "doc_id",
+            lang_col: str = "lang", text_col: str = "text",
+            span_k: int = 20, n_buckets: int = 3,
+            keep_buckets: int = 2):
+    """Returns survivors as (id_col, lang, n_cut, ppl_micro, bucket)."""
+    from dqm_ray.functions.ccnet import perplexity_buckets
+    from dqm_ray.functions.spans import dedup_spans
+
+    cleaned = dedup_spans(ds, id_col=id_col, text_col=text_col,
+                          k=span_k)
+    bucketed = perplexity_buckets(cleaned, logq, text_col=text_col,
+                                  lang_col=lang_col, id_col=id_col,
+                                  n_buckets=n_buckets,
+                                  carry_cols=("n_cut",))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(b <= keep_buckets))
+
+    return bucketed.map_batches(gate, batch_format="pyarrow",
+                                num_cpus=1)

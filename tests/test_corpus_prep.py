@@ -169,3 +169,35 @@ def test_prep_report_counts_are_consistent(ray_session, monkeypatch,
     assert rep["exact_dedup"] <= rep["token_gate"]
     assert rep["sequences"] <= rep["epoch_rows"]
     assert rep["token_gate"] == 150 - 15      # the 'tiny' docs dropped
+
+
+def test_webprep_gate_properties(ray_session):
+    """Composed webprep: span cuts happen before scoring (a doc made
+    short by cutting scores on its cleaned text), per-lang survivor
+    counts follow NTILE(3) buckets 1-2, tail is gone."""
+    import ray.data as rd
+
+    from dqm_ray.functions.ccnet import quantize_logp
+    from dqm_ray.pipelines.webprep import webprep
+    from dqm_ray.stages.scorer import VectorBigramModel
+
+    model = VectorBigramModel("the quick brown fox jumps over " * 400)
+    logq = quantize_logp(model.log_p)
+    span = "SHAREDSPAN" * 4
+    texts, langs = [], []
+    for i in range(12):
+        texts.append(f"the quick brown fox {i} jumps {span}")
+        langs.append("en")
+    for i in range(6):
+        texts.append(f"zzqq##~~!! weird {i} @@ {span}")
+        langs.append("de")
+    df = pd.DataFrame({"doc_id": np.arange(18, dtype=np.int64),
+                       "lang": langs, "text": texts})
+    out = webprep(rd.from_pandas(df), logq, span_k=10,
+                  keep_buckets=2).to_pandas()
+    # NTILE(3): en 12 -> buckets of 4/4/4, keep 8; de 6 -> 2/2/2, keep 4
+    assert (out[out["lang"] == "en"].shape[0] == 8)
+    assert (out[out["lang"] == "de"].shape[0] == 4)
+    assert out["bucket"].max() <= 2
+    # every doc except one winner lost the shared span
+    assert (out["n_cut"] > 0).sum() >= len(out) - 1
