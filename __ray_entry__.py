@@ -1509,6 +1509,19 @@ def _q_dedup_spans(sf_dir: str):
     return dedup_spans(ds, k=_SPAN_K)
 
 
+def _q_funnel(sf_dir: str):
+    """View→click conversion funnel per user (10-minute window):
+    hash-part co-location + segmented running-max last-view lookup —
+    no self-join (windows.py::funnel)."""
+    import ray.data as rd
+
+    from dqm_ray.functions.windows import funnel
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type"])
+    return funnel(ds, window_minutes=10)
+
+
 def _q_webprep(sf_dir: str):
     """Composed web-corpus prep (pipelines/webprep.py): exact span
     dedup -> CCNet per-lang perplexity gate over the CLEANED text,
@@ -1985,6 +1998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_ingest": _q_jsonl_ingest,
         "csv_ingest": _q_csv_ingest,
         "webprep": _q_webprep,
+        "funnel_conversions": _q_funnel,
         "dataset_split": _q_dataset_split,
         "budget_sample": _q_budget_sample,
         "train_bigram_lm": _q_train_bigram_lm,
@@ -3719,6 +3733,19 @@ def oracle_sql() -> dict[str, str]:
         "bloom_probe": _bloom_oracle_sql(),
         "dedup_spans": _dedup_spans_oracle_sql(),
         "webprep": _webprep_oracle_sql(),
+        "funnel_conversions": """
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'click')
+                        AS BIGINT) AS n_clicks,
+                   CAST(SUM(CASE WHEN event_type = 'click' AND EXISTS (
+                          SELECT 1 FROM events v
+                          WHERE v.user_id = e.user_id
+                            AND v.event_type = 'view'
+                            AND v.ts <= e.ts
+                            AND v.ts > e.ts - INTERVAL 10 MINUTE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+            FROM events e GROUP BY user_id
+            HAVING COUNT(*) FILTER (WHERE event_type = 'click') > 0""",
         "semantic_decontam": f"""
             WITH bench AS (SELECT CAST(embedding AS DOUBLE[]) AS v
                            FROM embeddings WHERE vec_id % 2 = 0),

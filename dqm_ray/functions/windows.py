@@ -210,3 +210,58 @@ def trending(ds, *, ts_col: str = "ts", key_col: str = "event_type",
 
     return counts.map_batches(add_part, batch_format="pyarrow") \
         .groupby("part").map_groups(topk, batch_format="pandas")
+
+
+def funnel(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type", view: str = "view",
+           click: str = "click", window_minutes: int = 10):
+    """View→click conversion funnel per user: a click CONVERTS iff the
+    same user has a view with ``click.ts - W < view.ts <= click.ts``.
+    Emits (user, n_clicks, n_converted) for users with >= 1 click.
+
+    Scale shape: the usual 64-way user co-location + ONE lexsort per
+    part; the last-view lookup is a segmented running max expressed as
+    ``np.maximum.accumulate`` over view positions with a segment-start
+    validity check — no per-user dispatch, no self-join."""
+    w_us = np.timedelta64(window_minutes * 60, "s") \
+        .astype("timedelta64[us]").astype(np.int64)
+
+    def part_funnel(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[user_col].to_numpy()
+        t = df[ts_col].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        typ = df[type_col].to_numpy()
+        is_view = typ == view
+        is_click = typ == click
+        # views sort before clicks at equal (user, ts): same-ts views
+        # are visible to the click (the <= bound)
+        o = np.lexsort((is_click, t, u))
+        u, t, is_view, is_click = u[o], t[o], is_view[o], is_click[o]
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame({user_col: u,
+                                 "n_clicks": np.empty(0, np.int64),
+                                 "n_converted": np.empty(0, np.int64)})
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = u[1:] != u[:-1]
+        starts = np.nonzero(new_seg)[0]
+        seg_len = np.diff(np.r_[starts, n])
+        seg_start = np.repeat(starts, seg_len)
+        lv = np.maximum.accumulate(
+            np.where(is_view, np.arange(n, dtype=np.int64), -1))
+        valid = lv >= seg_start
+        last_view_ts = np.where(valid, t[np.maximum(lv, 0)],
+                                np.iinfo(np.int64).min)
+        converted = is_click & valid & (last_view_ts > t - w_us)
+        seg_id = np.cumsum(new_seg) - 1
+        n_clicks = np.bincount(seg_id[is_click],
+                               minlength=len(starts)).astype(np.int64)
+        n_conv = np.bincount(seg_id[converted],
+                             minlength=len(starts)).astype(np.int64)
+        keep = n_clicks > 0
+        return pd.DataFrame({user_col: u[starts][keep],
+                             "n_clicks": n_clicks[keep],
+                             "n_converted": n_conv[keep]})
+
+    return _with_part(ds, user_col).groupby("part") \
+        .map_groups(part_funnel, batch_format="pandas")

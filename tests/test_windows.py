@@ -133,3 +133,32 @@ def test_trending_topk_and_ties(ray_session):
     assert h0["rank"].tolist() == [1, 2, 3]
     h1 = out[out["window_start"] != base]
     assert h1["event_type"].tolist() == ["z"] and len(out) == 4
+
+
+def test_funnel_conversion_semantics(ray_session):
+    """Window bounds: same-ts view counts, view strictly older than W
+    does not; other event types are inert; view-after-click ignored."""
+    import ray.data as rd
+
+    from dqm_ray.functions.windows import funnel
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(1, "m")
+    rows = [
+        (1, t0, "view"), (1, t0 + 5 * m, "click"),          # converts
+        (2, t0, "view"), (2, t0 + 10 * m, "click"),         # 10m ago: NO
+        (3, t0, "view"), (3, t0, "click"),                  # same ts: yes
+        (4, t0, "purchase"), (4, t0 + 1 * m, "click"),      # no view
+        (5, t0 + 2 * m, "click"), (5, t0 + 3 * m, "view"),  # view after
+        (6, t0, "view"),                                    # no click
+    ]
+    df = pd.DataFrame({
+        "user_id": np.array([r[0] for r in rows], np.int64),
+        "ts": [r[1] for r in rows],
+        "event_type": [r[2] for r in rows],
+    })
+    out = funnel(rd.from_pandas(df), window_minutes=10).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert out.index.tolist() == [1, 2, 3, 4, 5]
+    assert out["n_clicks"].tolist() == [1, 1, 1, 1, 1]
+    assert out["n_converted"].tolist() == [1, 0, 1, 0, 0]
