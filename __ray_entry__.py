@@ -812,54 +812,24 @@ def _q_dataset_split(sf_dir: str):
                          seed=_SPLIT_SEED)
 
 
-def _q_jsonl_ingest(sf_dir: str):
-    """Multi-format ingestion parity: documents exported once to JSONL
-    (cached, atomic publish), re-read via ray.data.read_json, and
-    reduced to per-lang counts + char sums — must equal the DuckDB
-    result computed from the PARQUET table, proving the JSONL source
-    path loses nothing. S1/S3 source analog for a second wire format."""
+def _ingest_parity(sf_dir: str, fmt: str):
+    """Shared wire-format parity harness: documents exported once to
+    ``fmt`` (cached, atomic publish), re-read through the matching
+    ray.data reader, reduced to per-lang counts + char sums — must
+    equal the DuckDB result computed from the PARQUET table, proving
+    the format loses nothing. S1/S3 source analog."""
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    jdir = os.path.join(_CACHE, "docs_jsonl_" +
-                        hashlib.sha256(sf_dir.encode()).hexdigest()[:12])
-    if not os.path.isdir(jdir):
-        tmp = jdir + f".tmp{os.getpid()}"
-        _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]) \
-            .write_json(tmp)
-        os.replace(tmp, jdir)
-    ds = rd.read_json(jdir)
-    import pyarrow.compute as pc
-
-    def partial(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "lang": batch.column("lang"),
-            "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
-        })
-
-    out = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("lang") \
-        .aggregate(Count(alias_name="n_docs"),
-                   Sum("n_chars", alias_name="sum_chars"))
-    return out
-
-
-def _q_csv_ingest(sf_dir: str):
-    """Third wire format: documents exported once to CSV (cached,
-    atomic publish), re-read via ray.data.read_csv, reduced to the same
-    per-lang counts + char sums as the parquet-derived oracle — the
-    CSV source path loses nothing either."""
-    import ray.data as rd
-    from ray.data.aggregate import Count, Sum
-
-    cdir = os.path.join(_CACHE, "docs_csv_" +
+    cdir = os.path.join(_CACHE, f"docs_{fmt}_" +
                         hashlib.sha256(sf_dir.encode()).hexdigest()[:12])
     if not os.path.isdir(cdir):
         tmp = cdir + f".tmp{os.getpid()}"
-        _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]) \
-            .write_csv(tmp)
+        src = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+        getattr(src, f"write_{fmt}")(tmp)
         os.replace(tmp, cdir)
-    ds = rd.read_csv(cdir)
+    reader = {"json": rd.read_json, "csv": rd.read_csv}[fmt]
+    ds = reader(cdir)
     import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -872,6 +842,16 @@ def _q_csv_ingest(sf_dir: str):
         .groupby("lang") \
         .aggregate(Count(alias_name="n_docs"),
                    Sum("n_chars", alias_name="sum_chars"))
+
+
+def _q_jsonl_ingest(sf_dir: str):
+    """Second wire format: JSONL round-trip parity (_ingest_parity)."""
+    return _ingest_parity(sf_dir, "json")
+
+
+def _q_csv_ingest(sf_dir: str):
+    """Third wire format: CSV round-trip parity (_ingest_parity)."""
+    return _ingest_parity(sf_dir, "csv")
 
 
 def _q_knn_quantized(sf_dir: str):
@@ -2811,14 +2791,11 @@ _QUALITY_EXPR = """0.25 * (
             )"""
 
 
-def _dedup_spans_oracle_sql(k: int = _SPAN_K) -> str:
-    """Span dedup in SQL over the shared gram CTEs: stride-anchored
-    min packed (doc << 32 | pos) winner per gram; positions whose gram
-    has a strictly-smaller winner are covered; cleaned text =
-    string_agg of uncovered chars (the scrub_spans oracle kernel)."""
-    return f"""
-        WITH {_gram_ctes(k)},
-        anchors AS (
+def _span_cut_ctes(k: int) -> str:
+    """The span-cut CTE block (anchors → agg) shared by the
+    dedup_spans and webprep oracles — one builder so the two sides
+    cannot drift (the zscore_sql pattern)."""
+    return f"""anchors AS (
           SELECT gram, min(doc_id * 4294967296 + i - 1) AS w
           FROM pos_grams WHERE (i - 1) % {k} = 0 GROUP BY gram),
         hits AS (
@@ -2834,7 +2811,17 @@ def _dedup_spans_oracle_sql(k: int = _SPAN_K) -> str:
                  CAST(count(c.pos) AS BIGINT) AS n_cut
           FROM bytes b
           LEFT JOIN cover c ON b.doc_id = c.doc_id AND b.i = c.pos
-          GROUP BY b.doc_id)
+          GROUP BY b.doc_id)"""
+
+
+def _dedup_spans_oracle_sql(k: int = _SPAN_K) -> str:
+    """Span dedup in SQL over the shared gram CTEs: stride-anchored
+    min packed (doc << 32 | pos) winner per gram; positions whose gram
+    has a strictly-smaller winner are covered; cleaned text =
+    string_agg of uncovered chars (the scrub_spans oracle kernel)."""
+    return f"""
+        WITH {_gram_ctes(k)},
+        {_span_cut_ctes(k)}
         SELECT d.doc_id, coalesce(a.text, '') AS text,
                coalesce(a.n_cut, 0) AS n_cut
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
@@ -2850,28 +2837,12 @@ def _zscore_oracle_sql() -> str:
 
 def _webprep_oracle_sql() -> str:
     """The webprep chain as ONE SQL program: span-cut CTEs (cleaned
-    text + n_cut) -> integer perplexity over the cleaned text -> ntile
-    per lang -> keep head+middle."""
+    text + n_cut, shared builder) -> integer perplexity over the
+    cleaned text -> ntile per lang -> keep head+middle."""
     logq = _ensure_bigram_logq_parquet()
     return f"""
         WITH {_gram_ctes(_SPAN_K)},
-        anchors AS (
-          SELECT gram, min(doc_id * 4294967296 + i - 1) AS w
-          FROM pos_grams WHERE (i - 1) % {_SPAN_K} = 0 GROUP BY gram),
-        hits AS (
-          SELECT p.doc_id, p.i FROM pos_grams p
-          JOIN anchors a USING (gram)
-          WHERE a.w < p.doc_id * 4294967296 + p.i - 1),
-        cover AS (SELECT DISTINCT h.doc_id, h.i + t.d AS pos
-                  FROM hits h, unnest(range(0, {_SPAN_K})) t(d)),
-        agg AS (
-          SELECT b.doc_id,
-                 coalesce(string_agg(chr(b.b0), '' ORDER BY b.i)
-                          FILTER (WHERE c.pos IS NULL), '') AS text,
-                 CAST(count(c.pos) AS BIGINT) AS n_cut
-          FROM bytes b
-          LEFT JOIN cover c ON b.doc_id = c.doc_id AND b.i = c.pos
-          GROUP BY b.doc_id),
+        {_span_cut_ctes(_SPAN_K)},
         cleaned AS (
           SELECT d.doc_id, d.lang, coalesce(a.text, '') AS text,
                  coalesce(a.n_cut, 0) AS n_cut

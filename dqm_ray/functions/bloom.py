@@ -28,13 +28,16 @@ from dqm_ray.functions.sampling import _M64, SAMPLE_A, _offset
 
 
 def _int_column(block, col: str) -> np.ndarray:
-    """Exact int64 key extraction — aggregates._column float-casts,
-    which silently corrupts 64-bit hash keys beyond 2^53."""
+    """Exact int64 key extraction with nulls DROPPED (the
+    ignore_nulls contract) — aggregates._column float-casts, which
+    silently corrupts 64-bit hash keys beyond 2^53, and a NaN→int64
+    cast would hash null rows into the filter as garbage."""
     if isinstance(block, pa.Table):
-        arr = block.column(col).to_numpy(zero_copy_only=False)
-    else:  # pandas
-        arr = block[col].to_numpy()
-    return np.asarray(arr).astype(np.int64)
+        col_pa = block.column(col)
+        if col_pa.null_count:
+            col_pa = col_pa.drop_null()
+        return col_pa.to_numpy(zero_copy_only=False).astype(np.int64)
+    return block[col].dropna().to_numpy().astype(np.int64)
 
 SAMPLE_B = 0xC2B2AE3D27D4EB4F  # second odd multiplier (double hashing)
 

@@ -270,12 +270,13 @@ def remove_boilerplate_lines_bucketed(ds, workdir: str, *,
 
     from dqm_ray.sources.bucketed import bucket_of
 
-    # reruns must not read a stale generation next to the new files
-    # (write_parquet APPENDS uniquely-named files into existing dirs)
-    if os.path.isdir(workdir):
-        shutil.rmtree(workdir)
     docs_dir = os.path.join(workdir, "docs")
     rm_dir = os.path.join(workdir, "removals")
+    # reruns must not read a stale generation next to the new files
+    # (write_parquet APPENDS uniquely-named files into existing dirs);
+    # delete ONLY the subdirs this op owns, never the caller's dir
+    for d in (docs_dir, rm_dir):
+        shutil.rmtree(d, ignore_errors=True)
 
     def add_doc_bucket(batch: pa.Table) -> pa.Table:
         k = batch.column(id_col).to_numpy(zero_copy_only=False) \

@@ -71,6 +71,31 @@ def _apply_cuts(text: pa.Array, rows: np.ndarray, locs: np.ndarray,
     return cleaned, removed
 
 
+
+def _gram_positions(batch: pa.Table, id_col: str, text_col: str, k: int):
+    """Shared gram/packed/valid extraction for BOTH span-dedup paths —
+    one implementation so the bucketed==broadcast parity cannot drift.
+    Returns (text, grams, doc_idx, local, packed, valid, byte_lens)."""
+    from dqm_ray.functions.dedup import batch_gram_hashes
+    from dqm_ray.stages.rules import string_buffer_view
+
+    text = batch.column(text_col).combine_chunks()
+    grams, starts, counts = batch_gram_hashes(text, k)
+    n = len(batch)
+    view = string_buffer_view(text)
+    byte_lens = (np.diff(view[1]) if view is not None else
+                 np.array([len((t or "").encode())
+                           for t in text.to_pylist()], np.int64))
+    short = byte_lens < k
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    local = np.arange(len(grams), dtype=np.int64) \
+        - np.repeat(starts, counts)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    packed = (ids[doc_idx] << 32) | local
+    valid = ~short[doc_idx]
+    return text, grams, doc_idx, local, packed, valid, byte_lens
+
 def dedup_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
                 k: int = DEFAULT_SPAN_K, batch_size: int = 512):
     """Returns (id_col, text, n_cut): every doc with globally-repeated
@@ -78,26 +103,8 @@ def dedup_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
     import ray
     from ray.data.aggregate import Min
 
-    from dqm_ray.functions.dedup import batch_gram_hashes
-    from dqm_ray.stages.rules import string_buffer_view
-
     def grams_of(batch: pa.Table):
-        text = batch.column(text_col).combine_chunks()
-        grams, starts, counts = batch_gram_hashes(text, k)
-        n = len(batch)
-        view = string_buffer_view(text)
-        byte_lens = (np.diff(view[1]) if view is not None else
-                     np.array([len((t or "").encode())
-                               for t in text.to_pylist()], np.int64))
-        short = byte_lens < k
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
-        local = np.arange(len(grams), dtype=np.int64) \
-            - np.repeat(starts, counts)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        packed = (ids[doc_idx] << 32) | local
-        valid = ~short[doc_idx]
-        return text, grams, doc_idx, local, packed, valid, byte_lens
+        return _gram_positions(batch, id_col, text_col, k)
 
     def anchor_partial(batch: pa.Table) -> pa.Table:
         _, grams, _, local, packed, valid, _ = grams_of(batch)
@@ -184,16 +191,16 @@ def dedup_spans_bucketed(ds, workdir: str, *, id_col: str = "doc_id",
 
     from dqm_ray.functions.bloom import (bloom_bit_positions,
                                          build_bloom)
-    from dqm_ray.functions.dedup import batch_gram_hashes
     from dqm_ray.sources.bucketed import bucket_of
-    from dqm_ray.stages.rules import string_buffer_view
 
-    if os.path.isdir(workdir):  # stale generations must not be read
-        shutil.rmtree(workdir)
     docs_dir = os.path.join(workdir, "docs")
     win_dir = os.path.join(workdir, "winners")
     probe_dir = os.path.join(workdir, "probes")
     rm_dir = os.path.join(workdir, "removals")
+    # stale generations must not be read — but delete ONLY the subdirs
+    # this op owns, never a caller-supplied directory wholesale
+    for d in (docs_dir, win_dir, probe_dir, rm_dir):
+        shutil.rmtree(d, ignore_errors=True)
 
     def add_doc_bucket(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
@@ -204,23 +211,18 @@ def dedup_spans_bucketed(ds, workdir: str, *, id_col: str = "doc_id",
     ds.map_batches(add_doc_bucket, batch_format="pyarrow",
                    num_cpus=1).write_parquet(
         docs_dir, partition_cols=["bucket"])
+    if not os.path.isdir(docs_dir):  # empty input wrote nothing
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            text_col: pa.array([], pa.string()),
+            "n_cut": pa.array([], pa.int64())}))
+    # read the written docs back for the anchor + probe passes — the
+    # upstream `ds` lineage executes exactly ONCE (the doc write)
+    src = rd.read_parquet(docs_dir)
 
     def grams_of(batch: pa.Table):
-        text = batch.column(text_col).combine_chunks()
-        grams, starts, counts = batch_gram_hashes(text, k)
-        n = len(batch)
-        view = string_buffer_view(text)
-        byte_lens = (np.diff(view[1]) if view is not None else
-                     np.array([len((t or "").encode())
-                               for t in text.to_pylist()], np.int64))
-        short = byte_lens < k
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
-        local = np.arange(len(grams), dtype=np.int64) \
-            - np.repeat(starts, counts)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        packed = (ids[doc_idx] << 32) | local
-        valid = ~short[doc_idx]
+        _t, grams, _d, local, packed, valid, _b = _gram_positions(
+            batch, id_col, text_col, k)
         return grams, local, packed, valid
 
     def anchor_partial(batch: pa.Table) -> pa.Table:
@@ -231,8 +233,8 @@ def dedup_spans_bucketed(ds, workdir: str, *, id_col: str = "doc_id",
             "packed": pa.array(packed[m], pa.int64()),
         })
 
-    winners = ds.map_batches(anchor_partial, batch_format="pyarrow",
-                             num_cpus=1) \
+    winners = src.map_batches(anchor_partial, batch_format="pyarrow",
+                              num_cpus=1) \
         .groupby("gram").aggregate(Min("packed", alias_name="w")) \
         .materialize()  # two consumers: bucket write + bloom build
 
@@ -266,7 +268,8 @@ def dedup_spans_bucketed(ds, workdir: str, *, id_col: str = "doc_id",
                 bucket_of(gi[hit], num_buckets), pa.int32()),
         })
 
-    ds.map_batches(probe_partial, batch_format="pyarrow", num_cpus=1) \
+    src.map_batches(probe_partial, batch_format="pyarrow",
+                    num_cpus=1) \
         .write_parquet(probe_dir, partition_cols=["gbucket"])
 
     def removals_one(batch: pa.Table) -> pa.Table:
@@ -327,8 +330,12 @@ def dedup_spans_bucketed(ds, workdir: str, *, id_col: str = "doc_id",
             pieces.append(out.append_column(
                 "n_cut", pa.array(removed, pa.int64())))
         if not pieces:
-            sch = pads.dataset(docs_dir, partitioning="hive").schema
-            empty = sch.empty_table().drop(["bucket"])
+            if os.path.isdir(docs_dir):
+                sch = pads.dataset(docs_dir, partitioning="hive").schema
+                empty = sch.empty_table().drop(["bucket"])
+            else:
+                empty = pa.table({id_col: pa.array([], pa.int64()),
+                                  text_col: pa.array([], pa.string())})
             return empty.append_column("n_cut", pa.array([], pa.int64()))
         return pa.concat_tables(pieces)
 

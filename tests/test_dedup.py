@@ -287,3 +287,33 @@ def test_dedup_spans_bucketed_matches_broadcast(ray_session, tmp_path):
                              bloom_bits=1 << 12) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, c)
+
+
+def test_dedup_spans_bucketed_empty_input(ray_session, tmp_path):
+    """An upstream filter that drops every row yields an empty result,
+    not a crash (review finding)."""
+    import ray.data as rd
+
+    from dqm_ray.functions.spans import dedup_spans_bucketed
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "text": pd.Series(dtype="object")})
+    out = dedup_spans_bucketed(rd.from_pandas(empty),
+                               str(tmp_path / "e"), k=10,
+                               num_buckets=2).to_pandas()
+    assert len(out) == 0
+
+
+def test_bloom_ignores_null_keys(ray_session):
+    """Null keys are skipped (ignore_nulls contract), not hashed as
+    NaN-cast garbage (review finding)."""
+    import ray.data as rd
+
+    from dqm_ray.functions.bloom import build_bloom
+
+    a = rd.from_arrow(pa.table({"k": pa.array([5, None, 9],
+                                              pa.int64())}))
+    b = rd.from_arrow(pa.table({"k": pa.array([5, 9], pa.int64())}))
+    wa = build_bloom(a, key_col="k", m_bits=1 << 10, k_hashes=4)
+    wb = build_bloom(b, key_col="k", m_bits=1 << 10, k_hashes=4)
+    assert (wa == wb).all()
