@@ -19,6 +19,15 @@ import subprocess
 import sys
 import time
 
+# Keep big numpy/Arrow temporaries on the reusable heap instead of
+# per-allocation mmap/munmap cycles: with 32 workers each batch's fresh
+# multi-MB temporaries otherwise page-fault from zero under the kernel's
+# mmap lock (measured 1.5-2x flagship wall time under contention, and
+# most of the run-to-run noise band). Workers inherit the env from the
+# driver, so this must be set before ray.init spawns them.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
