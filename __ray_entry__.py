@@ -1489,6 +1489,45 @@ def _q_dedup_spans(sf_dir: str):
     return dedup_spans(ds, k=_SPAN_K)
 
 
+def _q_dup_report(sf_dir: str):
+    """Per-lang duplication observability: doc count, distinct-text
+    count (by sha256 — hash-equal ≡ text-equal at 2^-128, the
+    exact_dedup contract) and excess-copy count. Two tiny counter
+    shuffles; content never moves."""
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Count, Sum
+
+    from dqm_ray.stages.lineage import sha256_column
+
+    ds = _docs(sf_dir, columns=["lang", "text"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch.column("lang"),
+            "__sha": sha256_column(batch.column("text")
+                                   .combine_chunks()),
+        })
+
+    per_text = ds.map_batches(key, batch_format="pyarrow") \
+        .groupby(["lang", "__sha"]).aggregate(Count(alias_name="n"))
+    out = per_text.groupby("lang").aggregate(
+        Count(alias_name="n_unique"), Sum("n", alias_name="n_docs"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = batch.column("n_docs").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nu = batch.column("n_unique").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_unique": pa.array(nu, pa.int64()),
+            "n_dup_docs": pa.array(nd - nu, pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_funnel(sf_dir: str):
     """View→click conversion funnel per user (10-minute window):
     hash-part co-location + segmented running-max last-view lookup —
@@ -1979,6 +2018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_ingest": _q_csv_ingest,
         "webprep": _q_webprep,
         "funnel_conversions": _q_funnel,
+        "dup_report": _q_dup_report,
         "dataset_split": _q_dataset_split,
         "budget_sample": _q_budget_sample,
         "train_bigram_lm": _q_train_bigram_lm,
@@ -3704,6 +3744,12 @@ def oracle_sql() -> dict[str, str]:
         "bloom_probe": _bloom_oracle_sql(),
         "dedup_spans": _dedup_spans_oracle_sql(),
         "webprep": _webprep_oracle_sql(),
+        "dup_report": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,
+                   CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT)
+                       AS n_dup_docs
+            FROM documents GROUP BY lang""",
         "funnel_conversions": """
             SELECT user_id,
                    CAST(COUNT(*) FILTER (WHERE event_type = 'click')

@@ -45,7 +45,7 @@ BENCH_QUERIES = ["doc_line_stats", "pii_scrub", "lineage_sha256",
                  "knn_quantized", "budget_sample", "train_bigram_lm",
                  "scrub_spans", "sample_exact_k", "ccnet_buckets", "dedup_spans",
                  "semantic_decontam", "trending", "zscore_chars",
-                 "train_trigram_lm", "corpus_diff", "project_embeddings", "csv_ingest", "webprep", "funnel_conversions",
+                 "train_trigram_lm", "corpus_diff", "project_embeddings", "csv_ingest", "webprep", "funnel_conversions", "dup_report",
                  "incremental_neardup", "canonical_docs", "bloom_probe"]
 
 
