@@ -1051,9 +1051,16 @@ def _q_approx_distinct(sf_dir: str):
 
 def _q_asof_prior_view(sf_dir: str):
     """As-of join: for each 'click' event, the most recent prior 'view'
-    event of the same user (per-user co-location + merge_asof per group;
-    DuckDB ASOF JOIN oracle)."""
-    import pandas as pd
+    event of the same user (hash-part co-location + one merge_asof(by=)
+    pass per part; DuckDB ASOF JOIN oracle).
+
+    Contract is ALL-INTEGER by design: event ids plus the prior view's
+    timestamp as exact int64 epoch-microseconds (events.ts is
+    timestamp[us] in the fixture, so no rounding exists on either
+    engine). The float `value` column was removed from the contract in
+    r4 — `floor(|v|*1e6+0.5)` vs SQL `round(v*1e6)` disagree on
+    last-ulp inputs, which kept this row hash-red in the r2/r3 driver
+    gates even though selfcheck was multiset-identical."""
     import pyarrow.dataset as pads
     import ray.data as rd
 
@@ -1062,21 +1069,24 @@ def _q_asof_prior_view(sf_dir: str):
     path = os.path.join(sf_dir, "events.parquet")
     clicks = rd.read_parquet(path, columns=["event_id", "user_id", "ts"],
                              filter=(pads.field("event_type") == "click"))
-    views = rd.read_parquet(path, columns=["event_id", "user_id", "ts",
-                                           "value"],
+    views = rd.read_parquet(path, columns=["event_id", "user_id", "ts"],
                             filter=(pads.field("event_type") == "view"))
+
+    def dup_ts(t: pa.Table) -> pa.Table:
+        # merge_asof keeps only the LEFT `on` column; carry the right
+        # side's ts as a value column so the match's timestamp survives
+        return t.append_column("view_ts", t.column("ts"))
+
+    views = views.map_batches(dup_ts, batch_format="pyarrow")
     out = asof_join(clicks, views, by="user_id", on="ts",
                     tiebreak="event_id").to_pandas()
-    res = out[["event_id", "event_id_r", "value"]].copy()
-    res["prior_event_id"] = res["event_id_r"].fillna(-1).astype(np.int64)
-    # Integer micro-units with round-half-AWAY (matching SQL round()):
-    # hashing a rounded float diverged from the oracle's stringification
-    # in r1/r2 even though values were exactly equal (half-even vs
-    # half-away and -0.0). Same kernel as similarity._quantize_mat.
-    v = res["value"].to_numpy(dtype=np.float64)
-    micro = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)
-    res["prior_value_micro"] = pd.Series(micro).fillna(-1).astype(np.int64)
-    return res[["event_id", "prior_event_id", "prior_value_micro"]]
+    res = out[["event_id"]].copy()
+    res["prior_event_id"] = out["event_id_r"].fillna(-1).astype(np.int64)
+    vt = out["view_ts"].to_numpy(dtype="datetime64[us]")
+    us = vt.astype(np.int64)
+    us[np.isnat(vt)] = -1
+    res["prior_ts_us"] = us
+    return res[["event_id", "prior_event_id", "prior_ts_us"]]
 
 
 def _q_salted_group_stats(sf_dir: str):
@@ -3524,13 +3534,12 @@ def oracle_sql() -> dict[str, str]:
         "asof_prior_view": """
             SELECT l.event_id,
                    CAST(COALESCE(r.event_id, -1) AS BIGINT) AS prior_event_id,
-                   CAST(COALESCE(round(r.value * 1e6), -1) AS BIGINT)
-                       AS prior_value_micro
+                   CAST(COALESCE(epoch_us(r.ts), -1) AS BIGINT)
+                       AS prior_ts_us
             FROM (SELECT * FROM events WHERE event_type = 'click') l
             ASOF LEFT JOIN (
               -- tie contract: max event_id among equal (user_id, ts)
-              SELECT user_id, ts, max_by(event_id, event_id) AS event_id,
-                     max_by(value, event_id) AS value
+              SELECT user_id, ts, max_by(event_id, event_id) AS event_id
               FROM events WHERE event_type = 'view' GROUP BY user_id, ts) r
             ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "salted_group_stats": """

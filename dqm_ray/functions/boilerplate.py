@@ -239,7 +239,7 @@ def remove_boilerplate_lines_bucketed(ds, workdir: str, *,
                                       min_len: int = 10,
                                       min_docs: int = 10,
                                       num_buckets: int = 32,
-                                      num_parts: int = 64):
+                                      num_parts: int | None = None):
     """Zero-broadcast boilerplate removal — identical semantics to
     :func:`remove_boilerplate_lines` but nothing is ever collected to
     the driver or broadcast, so the n_lines/min_docs frequent-set bound
@@ -268,7 +268,11 @@ def remove_boilerplate_lines_bucketed(ds, workdir: str, *,
     import pyarrow.dataset as pads
     import ray.data as rd
 
+    from dqm_ray.partitioning import num_parts as _auto_parts
     from dqm_ray.sources.bucketed import bucket_of
+
+    # the sig pass parts by `h1 & (P-1)` — P must be a power of two
+    num_parts = num_parts or (1 << (_auto_parts() - 1).bit_length())
 
     docs_dir = os.path.join(workdir, "docs")
     rm_dir = os.path.join(workdir, "removals")

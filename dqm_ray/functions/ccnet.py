@@ -95,7 +95,7 @@ def _ntile(rank: np.ndarray, n: int, k: int) -> np.ndarray:
 
 def perplexity_buckets(ds, logq: np.ndarray, *, text_col: str = "text",
                        lang_col: str = "lang", id_col: str = "doc_id",
-                       n_buckets: int = 3, n_bins: int = N_BINS,
+                       n_buckets: int = 3, n_bins: int | None = None,
                        carry_cols: tuple = ()):
     """Return (id_col, lang[, carry_cols...], ppl_micro, bucket):
     bucket 1 = head (lowest perplexity) ... ``n_buckets`` = tail, per
@@ -130,9 +130,13 @@ def perplexity_buckets(ds, logq: np.ndarray, *, text_col: str = "text",
             lambda t: t.append_column(
                 "bucket", pa.array(np.zeros(len(t), np.int64))),
             batch_format="pyarrow")
-    lo, width = edges
-    width = max((width * N_BINS) // n_bins + 1, 1) if n_bins != N_BINS \
-        else width
+    lo, width, nb = edges
+    # default: ride the adaptive bin count from _bin_edges; an explicit
+    # n_bins rescales the width to keep indices inside [0, n_bins)
+    if n_bins is None:
+        n_bins = nb
+    elif n_bins != nb:
+        width = max((width * nb) // n_bins + 1, 1)
 
     def count_partial(batch: pa.Table) -> pa.Table:
         m = batch.column("ppl_micro").to_numpy(zero_copy_only=False)

@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from dqm_ray.partitioning import num_parts as _auto_parts
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -627,7 +629,7 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     else:
         pair_fn = functools.partial(_pairs_from_part, id_col=id_col)
 
-    def add_part(batch: pa.Table, n_parts: int = 64) -> pa.Table:
+    def add_part(batch: pa.Table, n_parts: int = _auto_parts()) -> pa.Table:
         k = batch.column("bucket_key").to_numpy(zero_copy_only=False)
         part = (pd.util.hash_array(k.astype(np.int64))
                 % n_parts).astype(np.int32)
@@ -686,7 +688,8 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
 
 def canonical_docs(ds, dup_table: pa.Table, *, id_col: str = "doc_id",
-                   text_col: str = "text", n_parts: int = 64):
+                   text_col: str = "text",
+                   n_parts: int | None = None):
     """Cluster canonicalization: for every near-dup cluster in
     ``dup_table`` (id → dup_group, e.g. minhash_lsh_dedup's output),
     select the member to KEEP by quality instead of first-wins —
@@ -705,6 +708,7 @@ def canonical_docs(ds, dup_table: pa.Table, *, id_col: str = "doc_id",
 
     from dqm_ray.functions.text import quality_score_batch
 
+    n_parts = n_parts or _auto_parts()
     mids = dup_table.column(id_col).to_numpy(zero_copy_only=False) \
         .astype(np.int64)
     mgrp = dup_table.column("dup_group") \
@@ -890,7 +894,7 @@ def simhash_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text",
     exploded = sh.map_batches(explode, batch_format="pyarrow").materialize()
     exploded = keep_multi_member_buckets(exploded, "bucket_key")
 
-    def add_part(batch: pa.Table, n_parts: int = 64) -> pa.Table:
+    def add_part(batch: pa.Table, n_parts: int = _auto_parts()) -> pa.Table:
         k = batch.column("bucket_key").to_numpy(zero_copy_only=False)
         part = (pd.util.hash_array(k.astype(np.int64))
                 % n_parts).astype(np.int32)

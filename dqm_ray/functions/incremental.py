@@ -358,7 +358,7 @@ def incremental_neardup(ds, index_dir: str, *, text_col: str = "text",
 
 
 def corpus_diff(old_ds, new_ds, *, id_col: str = "doc_id",
-                text_col: str = "text", n_parts: int = 64):
+                text_col: str = "text", n_parts: int | None = None):
     """Generation diff report: per id, status in
     {added, removed, changed, same} between two corpus snapshots —
     the audit step between ingests (what did this crawl actually do?).
@@ -368,6 +368,9 @@ def corpus_diff(old_ds, new_ds, *, id_col: str = "doc_id",
     verdicts (ids are unique per side, so runs have length 1 or 2; a
     64-bit-pair hash equality stands in for text equality at the
     documented 2^-128 bound). Returns (id_col, status)."""
+    from dqm_ray.partitioning import num_parts
+
+    n_parts = n_parts or num_parts()
 
     def sig_side(side: int):
         def f(batch: pa.Table) -> pa.Table:

@@ -124,7 +124,8 @@ def anti_join(left, right, *, on: str, right_on: str | None = None):
 
 
 def asof_join(left, right, *, by: str, on: str, suffix: str = "_r",
-              direction: str = "backward", tiebreak: str | None = None):
+              direction: str = "backward", tiebreak: str | None = None,
+              num_parts: int | None = None):
     """As-of join: for each left row, the most recent right row with
     ``right.on <= left.on`` within the same ``by`` key (direction
     'backward'; pandas merge_asof semantics).
@@ -136,12 +137,17 @@ def asof_join(left, right, *, by: str, on: str, suffix: str = "_r",
     reproducible run-to-run; always pass one when output hashes matter.
 
     Partitioning assumption (documented per SURVEY custom-operator
-    rule): co-locate both sides by ``by`` via one union + groupby
-    shuffle, then ``merge_asof`` over the ts-sorted group. Hot ``by``
-    keys bound the per-group memory — salt upstream if a single key
-    exceeds a worker.
+    rule): both sides co-locate by ``hash(by) % P`` via one union +
+    part groupby — a part holds MANY keys, and each part runs ONE
+    vectorized ``merge_asof(..., by=by)`` pass over all of them (the
+    windows.py shape; never one pandas dispatch per key — that is the
+    many-tiny-groups pathology, VERDICT r3 item 5). P defaults to
+    ``partitioning.num_parts()`` (2× cluster CPUs); a hot ``by`` key
+    bounds per-part memory — salt upstream if one key exceeds a worker.
     """
+    from dqm_ray.partitioning import num_parts as _np_default
 
+    P = num_parts or _np_default()
     lcols = left.schema().names
     rcols = right.schema().names
     r_renamed = {c: (c + suffix if c in lcols and c not in (by, on) else c)
@@ -149,36 +155,48 @@ def asof_join(left, right, *, by: str, on: str, suffix: str = "_r",
     r_value_cols = [r_renamed[c] for c in rcols if c not in (by, on)]
     tb = r_renamed.get(tiebreak, tiebreak) if tiebreak else None
 
+    def part_of(batch: pa.Table) -> pa.array:
+        k = batch.column(by).to_numpy(zero_copy_only=False)
+        if k.dtype.kind in "iu":
+            k = k.astype(np.int64)
+        return pa.array((pd.util.hash_array(k) % P).astype(np.int32))
+
     def tag_left(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("__part", part_of(batch))
         return batch.append_column(
             "__side", pa.array(np.zeros(len(batch), np.int8)))
 
     def tag_right(batch: pa.Table) -> pa.Table:
         batch = batch.rename_columns([r_renamed[c] for c in batch.column_names])
+        batch = batch.append_column("__part", part_of(batch))
         return batch.append_column(
             "__side", pa.array(np.ones(len(batch), np.int8)))
 
     both = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == 0][lcols]
-        r = g[g["__side"] == 1][[on, *r_value_cols]]
+        r = g[g["__side"] == 1][[by, on, *r_value_cols]]
         if not len(l):
             return pd.DataFrame()
+        # merge_asof(by=...) needs both frames sorted by `on` globally;
+        # within equal (by, on), the LAST right row wins, so a stable
+        # sort ascending by tiebreak makes the max-tiebreak row win.
         l = l.sort_values(on, kind="mergesort")
-        # sorting equal-`on` right rows ascending by tiebreak makes
-        # merge_asof (last-match-wins) pick the max-tiebreak row
         r = r.sort_values([on, tb] if tb else on, kind="mergesort")
         r[on] = r[on].astype(l[on].dtype)
-        return pd.merge_asof(l, r, on=on, direction=direction)
+        r[by] = r[by].astype(l[by].dtype)
+        return pd.merge_asof(l, r, on=on, by=by, direction=direction)
 
-    return both.groupby(by).map_groups(join_group, batch_format="pandas")
+    return both.groupby("__part").map_groups(join_part,
+                                             batch_format="pandas")
 
 
 def interval_join(intervals, points, *, by: str, start_col: str,
                   end_col: str, point_col: str, int_id: str,
-                  point_id: str, bin_width_us: int, num_parts: int = 64):
+                  point_id: str, bin_width_us: int,
+                  num_parts: int | None = None):
     """Pairs (int_id, point_id) where ``by`` matches and
     ``start <= point <= end`` — the range-join Ray Data lacks natively.
 
@@ -194,8 +212,13 @@ def interval_join(intervals, points, *, by: str, start_col: str,
     should be O(bin_width) — an interval emits len/bin_width + 1 rows;
     and a hot (by, bin) pair concentrates its candidates in one part,
     so salt the ``by`` key upstream if a single key x bin exceeds a
-    worker's memory.
+    worker's memory. ``num_parts`` defaults adaptively
+    (partitioning.num_parts, 2× cluster CPUs) — results are
+    part-count-invariant (pure hash co-location).
     """
+    from dqm_ray.partitioning import num_parts as _np_default
+
+    num_parts = num_parts or _np_default()
 
     def to_us(arr) -> np.ndarray:
         a = arr.to_numpy(zero_copy_only=False)

