@@ -1036,9 +1036,12 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
 
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog approximate distinct users per event_type (mergeable
-    sketch — registers shuffle, never values). No SQL oracle: estimate
-    is approximate by design (±1.6% @ p=12); accuracy is asserted in
-    tests/test_aggregates.py against exact counts."""
+    sketch — registers shuffle, never values). The estimate is
+    approximate vs truth (±1.6% @ p=12; accuracy asserted in
+    tests/test_aggregates.py) but DETERMINISTIC and oracle-exact: the
+    register algebra + finalize have a bitwise DuckDB twin
+    (bloom.hll_oracle_sql), the same way bloom_probe's bit contract
+    does."""
     import ray.data as rd
 
     from dqm_ray.aggregates import ApproxDistinct
@@ -1133,6 +1136,25 @@ def _q_fourier_events(sf_dir: str):
         df = pd.DataFrame({"event_type": pd.Series(dtype=object),
                            "freq_idx": pd.Series(dtype="int64"),
                            "magnitude": pd.Series(dtype="float64")})
+    df["magnitude"] = np.round(df["magnitude"].to_numpy(), 6)
+    return df
+
+
+def _q_fourier_total(sf_dir: str):
+    """Global summed-series spectrum (FourierContainer global/per-plane
+    mode, A7 — include/dqm/modules/FourierContainer.hpp:136-183: sum of
+    member series, transform by FFT linearity). Same qualifying-key
+    rule as fourier_events (first 256 samples per event_type, keys with
+    fewer skipped); SQL oracle = O(n^2) DFT of the per-position value
+    sum, magnitudes round(6) both sides."""
+    import ray.data as rd
+
+    from dqm_ray.functions.spectral import fourier_total
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value", "event_id"])
+    df = fourier_total(ds, key="event_type", value_col="value",
+                       order_col="event_id", n_points=256)
     df["magnitude"] = np.round(df["magnitude"].to_numpy(), 6)
     return df
 
@@ -1989,6 +2011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_group_stats": _q_salted_group_stats,
         "raw_sample": _q_raw_sample,
         "fourier_events": _q_fourier_events,
+        "fourier_total": _q_fourier_total,
         "knn_cosine": _q_knn_cosine,
         "knn_ivf": _q_knn_ivf,
         "nl_langid": _q_nl_langid,
@@ -2674,6 +2697,33 @@ def _fourier_events_oracle_sql(n_points: int = 256) -> str:
         FROM f"""
 
 
+def _fourier_total_oracle_sql(n_points: int = 256) -> str:
+    """fourier_total in SQL: by FFT linearity the summed-series
+    transform equals the DFT of the per-position sum over qualifying
+    keys — same O(n^2) twiddle sum and round(6) as fourier_events."""
+    half = n_points // 2 + 1
+    return f"""
+        WITH s AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY event_id) - 1 AS j,
+                 count(*) OVER (PARTITION BY event_type) AS cnt
+          FROM events
+          QUALIFY j < {n_points} AND cnt >= {n_points}
+        ),
+        tot AS (SELECT j, SUM(value) AS v FROM s GROUP BY j),
+        f AS (
+          SELECT k.k AS freq_idx,
+                 SUM(v * cos(2*pi()*j*k.k/{n_points}.0)) AS re,
+                 SUM(v * sin(2*pi()*j*k.k/{n_points}.0)) AS im
+          FROM tot, unnest(range(0, {half})) k(k)
+          GROUP BY k.k
+        )
+        SELECT CAST(freq_idx AS BIGINT) AS freq_idx,
+               round(sqrt(re*re + im*im), 6) AS magnitude
+        FROM f"""
+
+
 def _nl_langid_oracle_sql() -> str:
     """Stopword-profile langid in SQL: non-overlapping ' word ' counts on
     the space-padded lowercase text (replace() and Arrow count_substring
@@ -2924,6 +2974,14 @@ def _webprep_oracle_sql() -> str:
           FROM alld)
         SELECT doc_id, lang, n_cut, ppl_micro, bucket
         FROM ranked WHERE bucket <= 2"""
+
+
+def _hll_oracle() -> str:
+    """Bitwise HLL oracle — register algebra + finalize in DuckDB."""
+    from dqm_ray.functions.bloom import hll_oracle_sql
+
+    return hll_oracle_sql("events", "user_id", ["event_type"],
+                          alias="approx_users")
 
 
 def _bloom_oracle_sql() -> str:
@@ -3333,6 +3391,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "media_decode": _media_decode_oracle_sql(),
         "fourier_events": _fourier_events_oracle_sql(),
+        "fourier_total": _fourier_total_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "knn_ivf": _knn_ivf_oracle_sql("sf0.01"),
         "knn_ivf_quantized": _knn_ivf_quantized_oracle_sql("sf0.01"),
@@ -3751,6 +3810,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_neardup": _incremental_neardup_oracle_sql(),
         "canonical_docs": _canonical_oracle_sql(),
         "bloom_probe": _bloom_oracle_sql(),
+        "approx_distinct_users": _hll_oracle(),
         "dedup_spans": _dedup_spans_oracle_sql(),
         "webprep": _webprep_oracle_sql(),
         "dup_report": """

@@ -243,8 +243,12 @@ def run_scaling() -> dict:
                      wall_sec=round(time.time() - t_start, 1),
                      scale_rows=int(os.environ.get("GRAFT_SCALE_ROWS",
                                                    "2400000"))))
-    with open(hist_path, "w") as fh:
+    # atomic publish (tmp + os.replace): a crash mid-write or two
+    # concurrent --scaling runs must not truncate the history
+    tmp_path = f"{hist_path}.tmp{os.getpid()}"
+    with open(tmp_path, "w") as fh:
         json.dump(hist, fh, indent=1)
+    os.replace(tmp_path, hist_path)
     return result
 
 

@@ -106,13 +106,26 @@ class ApproxDistinct(AggregateFnV2):
     A mergeable sketch in the reference's accumulator algebra: per-block
     register arrays, combine = element-wise max, finalize = bias-corrected
     harmonic estimate with linear-counting small-range correction. The
-    shuffle moves 2^p bytes per group per block — never values."""
+    shuffle moves 2^p bytes per group per block — never values.
 
-    def __init__(self, on: str, p: int = 12, alias_name: str | None = None):
+    SQL-EXACT contract (integer keys): the register index and rank
+    derive from one avalanching splitmix64 hash
+    (functions.sampling.splitmix64) — idx = top p bits, rank = 64-p+1
+    minus the bit length of the low 64-p bits — and finalize accumulates
+    the harmonic sum as an EXACT integer (Σ 2^(64-p+1-rank), every term
+    a power of two ≤ 2^(64-p+1)) before one float division, with
+    libm log for the linear-counting branch and floor(x+0.5) rounding.
+    Every step has a bitwise DuckDB twin (bloom.hll_oracle_sql), so the
+    estimate itself is oracle-checkable. Non-integer keys fall back to
+    pandas' hash (no SQL contract)."""
+
+    def __init__(self, on: str, p: int = 12, seed: int = 0,
+                 alias_name: str | None = None):
         if not 4 <= p <= 16:
             raise ValueError("p must be in [4, 16]")
         self._p = p
         self._m = 1 << p
+        self._seed = seed
         super().__init__(alias_name or f"approx_distinct({on})",
                          zero_factory=lambda: [0] * (1 << p),
                          on=on, ignore_nulls=True)
@@ -121,19 +134,27 @@ class ApproxDistinct(AggregateFnV2):
         import pandas as pd
         import pyarrow as pa
 
+        from dqm_ray.functions.sampling import splitmix64
+
         if isinstance(block, pa.Table):
             vals = block.column(self._target_col_name) \
                 .to_numpy(zero_copy_only=False)
         else:
             vals = block[self._target_col_name].to_numpy()
-        h = pd.util.hash_array(np.asarray(vals))
+        vals = np.asarray(vals)
+        if vals.dtype.kind in "iu":
+            h = splitmix64(vals, self._seed)
+        else:  # no SQL contract for non-integer keys
+            h = pd.util.hash_array(vals)
         idx = (h >> np.uint64(64 - self._p)).astype(np.int64)
-        w = h << np.uint64(self._p)
-        # rank = leading-zero count of w (within 64-p bits) + 1
-        mant, exp = np.frexp(w.astype(np.float64))
-        bitlen = np.where(w == 0, 0, exp).astype(np.int64)
-        rank = np.where(w == 0, 64 - self._p + 1, 64 - bitlen + 1) \
-            .astype(np.int64)
+        t = h & np.uint64((1 << (64 - self._p)) - 1)
+        # exact bit length via 32-bit halves (each < 2^32 → float64
+        # exact; frexp's exponent IS the bit length, 0 for 0 — no log2
+        # boundary rounding even for p < 12 where t exceeds 2^53)
+        _, ehi = np.frexp((t >> np.uint64(32)).astype(np.float64))
+        _, elo = np.frexp((t & np.uint64(0xFFFFFFFF)).astype(np.float64))
+        bitlen = np.where(ehi > 0, ehi + 32, elo).astype(np.int64)
+        rank = (64 - self._p + 1) - bitlen
         regs = np.zeros(self._m, dtype=np.int64)
         np.maximum.at(regs, idx, rank)
         return regs
@@ -145,14 +166,17 @@ class ApproxDistinct(AggregateFnV2):
         return np.maximum(np.asarray(a), np.asarray(b)).tolist()
 
     def finalize(self, acc):
-        regs = np.asarray(acc, dtype=np.float64)
+        q = 64 - self._p + 1          # max rank; harmonic scale = 2^q
         m = float(self._m)
-        alpha = 0.7213 / (1 + 1.079 / m)
-        est = alpha * m * m / np.sum(np.power(2.0, -regs))
-        zeros = int((regs == 0).sum())
+        # exact integer harmonic sum: 2^-rank scaled by 2^q (Python
+        # ints — the sum can exceed int64)
+        sum_int = sum(1 << (q - int(r)) for r in acc)
+        zeros = sum(1 for r in acc if int(r) == 0)
+        est = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << q) \
+            / float(sum_int)
         if est <= 2.5 * m and zeros > 0:  # linear counting
             est = m * math.log(m / zeros)
-        return int(round(est))
+        return int(math.floor(est + 0.5))
 
 
 class Hist(AggregateFnV2):

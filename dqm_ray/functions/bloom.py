@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from dqm_ray.aggregates import AggregateFnV2
-from dqm_ray.functions.sampling import _M64, SAMPLE_A, _offset
+from dqm_ray.functions.sampling import _M64, SAMPLE_A, SAMPLE_B, _offset
 
 
 def _int_column(block, col: str) -> np.ndarray:
@@ -38,8 +38,6 @@ def _int_column(block, col: str) -> np.ndarray:
             col_pa = col_pa.drop_null()
         return col_pa.to_numpy(zero_copy_only=False).astype(np.int64)
     return block[col].dropna().to_numpy().astype(np.int64)
-
-SAMPLE_B = 0xC2B2AE3D27D4EB4F  # second odd multiplier (double hashing)
 
 
 def bloom_bit_positions(keys: np.ndarray, *, m_bits: int, k_hashes: int,
@@ -124,11 +122,16 @@ def probe_bloom(ds, words: np.ndarray, *, key_col: str,
 
 def bloom_sql_hash(key_expr: str, mult: int, offset: int) -> str:
     """The keyed multiplicative hash as DuckDB SQL (32-bit-split mulmod
-    — sampling.sample_sql_hash generalized to any multiplier)."""
+    — sampling.sample_sql_hash generalized to any multiplier).
+
+    Sign-safe: SQL ``%`` keeps the dividend's sign, so a negative
+    int64 key would yield a negative residue while the numpy side wraps
+    via the uint64 view; the final ``((x % M) + M) % M`` normalizes to
+    [0, 2^64), matching two's-complement wraparound exactly."""
     a_hi, a_lo = (mult >> 32) << 32, mult & 0xFFFFFFFF
     mul = (f"((CAST({key_expr} AS HUGEINT) * {a_hi}) % {_M64} "
            f"+ (CAST({key_expr} AS HUGEINT) * {a_lo}) % {_M64})")
-    return f"(({mul} + {offset}) % {_M64})"
+    return f"(((({mul} + {offset}) % {_M64}) + {_M64}) % {_M64})"
 
 
 def bloom_sql_bit(key_expr: str, i_expr: str, m_bits: int,
@@ -138,3 +141,77 @@ def bloom_sql_bit(key_expr: str, i_expr: str, m_bits: int,
     h2 = bloom_sql_hash(key_expr, SAMPLE_B, _offset(seed + 1))
     return (f"((({h1} + CAST({i_expr} AS HUGEINT) * {h2}) % {_M64}) "
             f"% {m_bits})")
+
+
+def _sql_xorshift(z: str, k: int) -> str:
+    """``z ^ (z >> k)`` for z in [0, 2^64), k >= 27 — the shifted-down
+    value fits BIGINT, and the xor only touches the low 64-k bits, so
+    split there and use BIGINT xor()."""
+    m = 1 << (64 - k)
+    return (f"(({z} // {m}) * {m} "
+            f"+ xor(CAST({z} % {m} AS BIGINT), "
+            f"CAST({z} // {1 << k} AS BIGINT)))")
+
+
+def _sql_mulmod64(z: str, mult: int) -> str:
+    """``(z * mult) mod 2^64`` for z in [0, 2^64) via a 32-bit split of
+    z (both partial products stay under 2^97 — inside HUGEINT)."""
+    return (f"((((({z} // 4294967296) * {mult}) % 4294967296) "
+            f"* 4294967296 + ({z} % 4294967296) * {mult}) % {_M64})")
+
+
+def hll_oracle_sql(table_sql: str, key_expr: str, group_cols: list[str],
+                   *, p: int = 12, seed: int = 0,
+                   alias: str = "approx_users") -> str:
+    """DuckDB SQL reproducing ``aggregates.ApproxDistinct`` BITWISE for
+    integer keys — the splitmix64 avalanche rebuilt step by step in a
+    CTE chain (each xor-shift/mulmod has an exact HUGEINT twin), the
+    harmonic sum as an exact integer (every term a power of two; SUM
+    promotes to HUGEINT), the same IEEE op order for the estimate,
+    libm ln for linear counting, and floor(x+0.5) rounding. Bit length
+    via length(ltrim(bin(t),'0')) — exact, unlike floor(log2(t)) which
+    rounds up on t = 2^k - eps."""
+    from dqm_ray.functions.sampling import SAMPLE_A
+
+    m, q = 1 << p, 64 - p + 1
+    shift = 1 << (64 - p)
+    g = ", ".join(group_cols)
+    mf, sf = repr(float(m)), repr(float(1 << q))
+    off = (SAMPLE_A + _offset(seed)) % _M64
+    z0 = (f"((((CAST({key_expr} AS HUGEINT) + {off}) % {_M64}) "
+          f"+ {_M64}) % {_M64})")
+    z1 = _sql_mulmod64(_sql_xorshift("z", 30), 0xBF58476D1CE4E5B9)
+    z2 = _sql_mulmod64(_sql_xorshift("z", 27), 0x94D049BB133111EB)
+    z3 = _sql_xorshift("z", 31)
+    return f"""
+        WITH hll_z0 AS (SELECT {g}, {z0} AS z FROM {table_sql}),
+        hll_z1 AS (SELECT {g}, {z1} AS z FROM hll_z0),
+        hll_z2 AS (SELECT {g}, {z2} AS z FROM hll_z1),
+        hll_z3 AS (SELECT {g}, {z3} AS z FROM hll_z2),
+        hll_h AS (
+          SELECT {g},
+                 CAST(z // {shift} AS BIGINT) AS idx,
+                 CAST(z % {shift} AS BIGINT) AS t
+          FROM hll_z3),
+        hll_regs AS (
+          SELECT {g}, idx,
+                 MAX({q} - length(ltrim(bin(t), '0'))) AS r
+          FROM hll_h GROUP BY {g}, idx),
+        hll_agg AS (
+          SELECT {g},
+                 SUM(CAST(1 AS BIGINT) << ({q} - r)) AS sum_present,
+                 COUNT(*) AS n_present
+          FROM hll_regs GROUP BY {g}),
+        hll_est AS (
+          SELECT {g},
+                 0.7213 / (1.0 + 1.079 / {mf}) * {mf} * {mf} * {sf}
+                     / CAST(sum_present
+                            + CAST({m} - n_present AS HUGEINT)
+                              * {1 << q} AS DOUBLE) AS est,
+                 {m} - n_present AS zeros
+          FROM hll_agg)
+        SELECT {g},
+               CAST(floor(CASE WHEN est <= 2.5 * {mf} AND zeros > 0
+                               THEN {mf} * ln({mf} / zeros)
+                               ELSE est END + 0.5) AS BIGINT) AS {alias}
+        FROM hll_est"""

@@ -98,7 +98,10 @@ def incremental_dedup(ds, index_dir: str, *, text_col: str = "text",
 
     from dqm_ray.state.broadcast import Broadcast
 
-    workdir = workdir or (index_dir.rstrip("/") + "_ingest")
+    # pid-suffixed default: two concurrent ingests against the same
+    # index must not rmtree/replace each other's layouts mid-read
+    workdir = workdir or (index_dir.rstrip("/")
+                          + f"_ingest.{os.getpid()}")
     tmp = workdir + f".tmp{os.getpid()}"
 
     def sig(batch: pa.Table) -> pa.Table:
@@ -265,7 +268,10 @@ def incremental_neardup(ds, index_dir: str, *, text_col: str = "text",
 
     params = dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
                   seed=seed)
-    workdir = workdir or (index_dir.rstrip("/") + "_ingest")
+    # pid-suffixed default: two concurrent ingests against the same
+    # index must not rmtree/replace each other's layouts mid-read
+    workdir = workdir or (index_dir.rstrip("/")
+                          + f"_ingest.{os.getpid()}")
     tmp = workdir + f".tmp{os.getpid()}"
     _write_minhash_layout(ds, tmp, text_col=text_col, id_col=id_col,
                           num_buckets=num_buckets, params=params)

@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 SAMPLE_A = 0x9E3779B97F4A7C15  # odd 64-bit golden-ratio multiplier
+SAMPLE_B = 0xC2B2AE3D27D4EB4F  # second odd multiplier (double hashing)
 _SEED_MIX = 0xBF58476D1CE4E5B9  # splitmix64 constant for seed → offset
 
 _M64 = 1 << 64
@@ -30,6 +31,22 @@ _M64 = 1 << 64
 
 def _offset(seed: int) -> int:
     return (seed * _SEED_MIX + 0x94D049BB133111EB) % _M64
+
+
+def splitmix64(keys: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Avalanching 64-bit mix (splitmix64 finalizer) — uint64 in/out.
+
+    The affine SAMPLE_A/B hashes are enough for bucket routing and
+    threshold sampling, but NOT for statistics that need every bit
+    field uniform (HyperLogLog ranks, register occupancy): an affine
+    map sends a contiguous key range to a low-discrepancy sequence,
+    which skews occupancy away from Poisson. Each step has an exact
+    DuckDB twin (bloom.hll_oracle_sql builds the chain)."""
+    z = np.asarray(keys).astype(np.int64).view(np.uint64) \
+        + np.uint64((SAMPLE_A + _offset(seed)) % _M64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
 
 def rate_threshold(rate: float) -> int:

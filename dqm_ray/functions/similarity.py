@@ -477,6 +477,15 @@ def quantize_embeddings(ds, *, vec_col: str = "embedding",
     return ds.map_batches(quant, batch_format="pyarrow", num_cpus=1)
 
 
+def _round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
+    """Round-half-AWAY-from-zero to ``decimals`` places — matches SQL
+    round(); np.round is half-to-even, which diverges from the oracle
+    on exact 5e-(d+1) ties (and, in the kmeans loop, a diverged
+    centroid feeds the next assignment pass)."""
+    s = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
 def _quantize_mat(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Shared int8 quantization math (see quantize_embeddings): per-row
     symmetric scale, half-away rounding, zero rows -> zero."""

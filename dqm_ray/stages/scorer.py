@@ -106,7 +106,16 @@ class ScorerStage:
                 self.model.log_p = art.log_p
             elif isinstance(art, TrainingText):
                 self.model = VectorBigramModel(art.text)
-            else:  # wheel-backed model object (fasttext/kenlm)
+            else:  # wheel-backed model object (kenlm via adapter)
+                if not hasattr(art, "log_ppl_many"):
+                    # fastText loads as a classifier, not a perplexity
+                    # model — fail at CONSTRUCTION with the contract
+                    # named, not with AttributeError on the first batch
+                    raise NotImplementedError(
+                        f"model artifact {type(art).__name__} does not "
+                        "expose log_ppl_many; the scorer consumes "
+                        "perplexity models (DQMB matrix, KenLM binary, "
+                        "or UTF-8 training text)")
                 self.model = art
         else:
             self.model = VectorBigramModel(model_text or training_text())

@@ -58,6 +58,31 @@ class TrainingText:
     text: str
 
 
+class KenLMPerplexity:
+    """Adapter giving a ``kenlm.Model`` the scorer's ``log_ppl_many``
+    contract: natural-log perplexity per token. kenlm's ``score`` is
+    the log10 probability of the whole sentence (with BOS/EOS), so
+    log_ppl = -score * ln(10) / (n_words + 1) — the +1 counts the EOS
+    transition, matching kenlm's own perplexity definition. Without
+    this wrapper, ScorerStage would crash with AttributeError on the
+    first batch whenever the wheel IS installed (the raw model has no
+    log_ppl_many)."""
+
+    def __init__(self, model):
+        self._model = model
+
+    def log_ppl_many(self, texts) -> np.ndarray:
+        import math
+
+        ln10 = math.log(10.0)
+        out = np.empty(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            words = (t or "").split()
+            out[i] = -self._model.score(" ".join(words), bos=True,
+                                        eos=True) * ln10 / (len(words) + 1)
+        return out
+
+
 def save_bigram_artifact(path: str, log_p: np.ndarray) -> None:
     """Serialize a (V, V) float64 log-probability matrix as DQMB v1."""
     v = log_p.shape[0]
@@ -119,7 +144,7 @@ def load_model_artifact(path: str):
         try:
             import kenlm  # not in this sandbox
 
-            return kenlm.Model(path)
+            return KenLMPerplexity(kenlm.Model(path))
         except ImportError:
             raise NotImplementedError(
                 f"recognized KenLM binary LM (format version {version}) "
