@@ -1,0 +1,108 @@
+"""Pure-numpy codecs for the two simplest mainstream media containers —
+uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) and PCM16 RIFF/WAVE.
+
+Both formats are fully public (Windows BMP file format docs; the
+Microsoft/IBM RIFF WAVE spec) and need no compression library, so the
+multimodal decode stage (``multimodal.MediaDecodeStage``) can exercise a
+TRUE binary decode in environments without PIL/ffmpeg: strict mode
+round-trips real pixel/sample arrays through real container bytes
+instead of the deterministic fake-feature path.
+
+Layout notes (the parts that bite):
+- BMP pixel rows are stored bottom-up, BGR byte order, each row padded
+  to a 4-byte boundary.
+- WAV is a chunk stream; readers must WALK chunks ('fmt ' is not always
+  immediately followed by 'data' — e.g. LIST/INFO chunks interleave),
+  and chunk bodies are word-aligned (odd sizes get a pad byte).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_BMP_HEADER = 14
+_DIB_HEADER = 40  # BITMAPINFOHEADER
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (BI_RGB, bottom-up, 4-byte row padding)."""
+    img = np.asarray(img)
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_bmp wants (H, W, 3) uint8")
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    data = rows.tobytes()
+    off = _BMP_HEADER + _DIB_HEADER
+    head = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", _DIB_HEADER, w, h, 1, 24, 0,
+                      len(data), 2835, 2835, 0, 0)
+    return head + dib + data
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP into an (H, W, 3) uint8 RGB
+    array. Raises ValueError on anything but the BI_RGB/24bpp subset."""
+    if len(data) < _BMP_HEADER + _DIB_HEADER or data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (off,) = struct.unpack_from("<I", data, 10)
+    size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if size < _DIB_HEADER or comp != 0 or bpp != 24 or planes != 1:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if off + stride * h > len(data):
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(data, np.uint8, count=stride * h, offset=off) \
+        .reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB, contiguous
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Encode int16 PCM samples — shape (n,) or (n, channels) — as a
+    RIFF/WAVE stream (format tag 1, 16-bit)."""
+    samples = np.asarray(samples)
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav wants int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM16 RIFF/WAVE stream -> ((n, channels) int16, rate).
+    Walks the chunk list; raises ValueError on non-PCM16 streams."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, end = 12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
+    rate = ch = None
+    pcm = None
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            tag, ch, rate = struct.unpack_from("<HHI", data, body)
+            (bits,) = struct.unpack_from("<H", data, body + 14)
+            if tag != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (tag={tag}, bits={bits})")
+        elif cid == b"data":
+            pcm = data[body: body + size]
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if rate is None or pcm is None:
+        raise ValueError("WAV stream missing fmt/data chunk")
+    arr = np.frombuffer(pcm, dtype="<i2")
+    n = (len(arr) // ch) * ch
+    return arr[:n].reshape(-1, ch).astype(np.int16), rate

@@ -24,30 +24,63 @@ import pyarrow as pa
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("kind", pa.string()),          # image | audio | video
-    ("payload", pa.large_binary()),  # opaque encoded bytes
+    ("payload", pa.large_binary()),  # REAL encoded bytes (BMP/WAV/opaque)
     ("mime", pa.string()),
+    # ground-truth expectations computed from the raw arrays BEFORE
+    # encoding — a decoder that recovers them from the container bytes
+    # demonstrably inverts the encode (differential test, SQL-readable)
+    ("width", pa.int64()), ("height", pa.int64()),
+    ("n_channels", pa.int64()), ("sample_rate", pa.int64()),
+    ("n_samples", pa.int64()), ("val_sum", pa.int64()),
 ])
 
 
 def synthesize_media_table(n_rows: int = 64, seed: int = 21) -> pa.Table:
-    """Deterministic fake media corpus (no external data): payload bytes
-    from a seeded RNG; used by tests and the bench smoke path."""
+    """Deterministic media corpus (no external data): REAL uncompressed
+    24-bit BMP images and PCM16 WAV clips (``functions.codecs``) plus
+    opaque video payloads, with pre-encode ground-truth metadata columns
+    so decode output is checkable row-for-row."""
+    from dqm_ray.functions.codecs import encode_bmp, encode_wav
+
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n_rows)]
-    payloads = [rng.integers(0, 256, size=int(rng.integers(1024, 8192)),
-                             dtype=np.uint8).tobytes() for _ in range(n_rows)]
-    mimes = np.where(kinds == "image", "image/png",
+    payloads, meta = [], []
+    for k in kinds:
+        if k == "image":
+            w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(img))
+            meta.append((w, h, 3, 0, 0, int(img.sum(dtype=np.int64))))
+        elif k == "audio":
+            ch = int(rng.integers(1, 3))
+            rate = int(rng.choice([8000, 16000, 22050]))
+            n = int(rng.integers(256, 2049))
+            smp = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+            payloads.append(encode_wav(smp, rate))
+            meta.append((0, 0, ch, rate, n,
+                         int(np.abs(smp.astype(np.int64)).sum())))
+        else:  # opaque container — no in-sandbox codec, by design
+            payloads.append(rng.integers(0, 256,
+                                         size=int(rng.integers(1024, 8192)),
+                                         dtype=np.uint8).tobytes())
+            meta.append((0, 0, 0, 0, 0, 0))
+    mimes = np.where(kinds == "image", "image/bmp",
                      np.where(kinds == "audio", "audio/wav", "video/mp4"))
+    cols = np.array(meta, dtype=np.int64).reshape(n_rows, 6)
     return pa.table({
         "media_id": pa.array(np.arange(n_rows), pa.int64()),
         "kind": pa.array(kinds.astype(object), pa.string()),
         "payload": pa.array(payloads, pa.large_binary()),
         "mime": pa.array(mimes.astype(object), pa.string()),
+        "width": pa.array(cols[:, 0]), "height": pa.array(cols[:, 1]),
+        "n_channels": pa.array(cols[:, 2]),
+        "sample_rate": pa.array(cols[:, 3]),
+        "n_samples": pa.array(cols[:, 4]), "val_sum": pa.array(cols[:, 5]),
     })
 
 
 def _try_real_decoder():
-    try:  # real decoder if a codec library is present (not in this sandbox)
+    try:  # full-codec library if present (PIL covers png/jpeg/...)
         import PIL.Image  # noqa: F401
         return True
     except ImportError:
@@ -57,22 +90,42 @@ def _try_real_decoder():
 class MediaDecodeStage:
     """Actor-pool decode/feature stage over binary payloads.
 
-    Output columns: media_id, kind, n_bytes, checksum, feat
-    (fixed-length list<float> — e.g. a thumbnail histogram or MFCC mean;
-    here the FAKE path emits a deterministic byte-histogram feature).
-
-    strict=True raises NotImplementedError when no codec library is
-    available instead of using the fake — the production setting.
+    Two modes with distinct output schemas:
+    - strict=False (feature mode): media_id, kind, n_bytes, checksum,
+      feat — a deterministic 16-bin byte-histogram feature, one
+      vectorized pass, no container parsing. The cheap smoke path.
+    - strict=True (decode mode): media_id, kind, n_bytes, checksum,
+      width, height, n_channels, sample_rate, n_samples, val_sum —
+      a TRUE binary decode of each payload via the built-in
+      ``functions.codecs`` (uncompressed BMP / PCM16 WAV; PIL extends
+      coverage when installed). A payload no available codec handles
+      (e.g. video/mp4 in this sandbox) raises NotImplementedError —
+      the production setting fails loudly rather than faking.
     """
 
     FEAT_DIM = 16
 
     def __init__(self, *, strict: bool = False):
         self.have_real = _try_real_decoder()
-        if strict and not self.have_real:
-            raise NotImplementedError(
-                "no image/audio codec library available; install one or "
-                "run with strict=False (deterministic fake features)")
+        self.strict = strict
+
+    def _decode_one(self, kind: str, mime: str, data: bytes):
+        """(width, height, n_channels, sample_rate, n_samples, val_sum)
+        from a real container decode — the legitimately per-row step."""
+        from dqm_ray.functions.codecs import decode_bmp, decode_wav
+
+        if mime == "image/bmp":
+            img = decode_bmp(data)
+            return (img.shape[1], img.shape[0], img.shape[2], 0, 0,
+                    int(img.sum(dtype=np.int64)))
+        if mime == "audio/wav":
+            smp, rate = decode_wav(data)
+            return (0, 0, smp.shape[1], rate, smp.shape[0],
+                    int(np.abs(smp.astype(np.int64)).sum()))
+        raise NotImplementedError(
+            f"no codec available for {mime!r} (kind={kind}); built-in "
+            "codecs cover image/bmp and audio/wav, install PIL/ffmpeg "
+            "for the rest or run with strict=False")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # FAKE decode: 16-bin byte histogram per payload, normalized —
@@ -89,6 +142,32 @@ class MediaDecodeStage:
         buf = (np.frombuffer(dbuf, np.uint8) if dbuf is not None
                else np.empty(0, np.uint8))
         nb = np.diff(off)
+        # checksum over the UPPERCASE-HEX encoding of the payload (not
+        # the raw bytes): same integrity property, and computable by SQL
+        # engines whose sha256 takes strings only (sha256(hex(payload))).
+        # sha256 is the legitimately per-row step; slices view the shared
+        # buffer (no payload copy besides the hex transform itself).
+        checks = [hashlib.sha256(
+            buf[s:e].tobytes().hex().upper().encode()).hexdigest()[:16]
+            for s, e in zip(off[:-1], off[1:])]
+        base = {
+            "media_id": batch.column("media_id"),
+            "kind": batch.column("kind"),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "checksum": pa.array(checks, pa.string()),
+        }
+        if self.strict:  # TRUE container decode per payload
+            kinds = batch.column("kind").to_pylist()
+            mimes = batch.column("mime").to_pylist()
+            dec = np.empty((n, 6), dtype=np.int64)
+            for i, (k, m, s, e) in enumerate(zip(kinds, mimes,
+                                                 off[:-1], off[1:])):
+                dec[i] = self._decode_one(k, m, buf[s:e].tobytes())
+            for j, name in enumerate(("width", "height", "n_channels",
+                                      "sample_rate", "n_samples",
+                                      "val_sum")):
+                base[name] = pa.array(dec[:, j])
+            return pa.table(base)
         if nb.sum():
             row = np.repeat(np.arange(n, dtype=np.int64), nb)
             nib = (buf[off[0]:off[-1]] >> 4).astype(np.int64)
@@ -99,22 +178,9 @@ class MediaDecodeStage:
             hist = np.zeros((n, self.FEAT_DIM), np.int64)
         feats = hist.astype(np.float64) \
             / np.maximum(nb, 1)[:, None].astype(np.float64)
-        # checksum over the UPPERCASE-HEX encoding of the payload (not
-        # the raw bytes): same integrity property, and computable by SQL
-        # engines whose sha256 takes strings only (sha256(hex(payload))).
-        # sha256 is the legitimately per-row step; slices view the shared
-        # buffer (no payload copy besides the hex transform itself).
-        checks = [hashlib.sha256(
-            buf[s:e].tobytes().hex().upper().encode()).hexdigest()[:16]
-            for s, e in zip(off[:-1], off[1:])]
-        return pa.table({
-            "media_id": batch.column("media_id"),
-            "kind": batch.column("kind"),
-            "n_bytes": pa.array(nb, pa.int64()),
-            "checksum": pa.array(checks, pa.string()),
-            "feat": pa.array(list(feats),
-                             pa.list_(pa.float64(), self.FEAT_DIM)),
-        })
+        base["feat"] = pa.array(list(feats),
+                                pa.list_(pa.float64(), self.FEAT_DIM))
+        return pa.table(base)
 
 
 class FrameSampleStage:

@@ -254,7 +254,12 @@ def _process_shard_batch(batch: pa.Table, *, out_dir: str, metrics_dir,
                     [shard] * timing.num_rows, pa.string())),
                 os.path.join(tdir, f"{shard}.parquet"))
         tmp = os.path.join(out_dir, f".{shard}.tmp")
-        pq.write_table(result, tmp)
+        # K2 message-split analog: cap row-group bytes so no output read
+        # unit exceeds cfg.max_row_group_bytes (ChannelStream.hpp:170-221)
+        per_row = max(1, result.nbytes // max(1, result.num_rows))
+        pq.write_table(result, tmp,
+                       row_group_size=max(1, cfg.max_row_group_bytes
+                                          // per_row))
         os.replace(tmp, os.path.join(out_dir, f"{shard}.parquet"))
         out_rows["shard"].append(shard)
         out_rows["rows"].append(result.num_rows)

@@ -145,6 +145,37 @@ def test_filewise_runner_and_resume(ray_session, small_cfg, tmp_path_factory):
         assert chain[col].tolist() == fw[col].tolist(), col
 
 
+def test_sink_row_group_cap(ray_session, small_cfg, tmp_path_factory):
+    """K2 message-split analog: every output row group's in-memory byte
+    size stays under cfg.max_row_group_bytes (one-row groups excepted —
+    a single row can exceed any cap, exactly like the reference's
+    oversized-single-fragment case)."""
+    import dataclasses
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dqm_ray.pipelines.quality import run_quality_filewise
+
+    src = str(tmp_path_factory.mktemp("cap_src"))
+    out = str(tmp_path_factory.mktemp("cap_out"))
+    paths = write_corpus(src, n_rows=200, seed=23, n_shards=2)
+    cfg = dataclasses.replace(small_cfg, max_row_group_bytes=64 << 10)
+
+    run_quality_filewise(paths, out, cfg).to_pandas()
+    data = os.path.join(out, "data")
+    seen_groups = 0
+    for f in os.listdir(data):
+        pf = pq.ParquetFile(os.path.join(data, f))
+        t = pf.read()
+        per_row = max(1, t.nbytes // max(1, t.num_rows))
+        for g in range(pf.num_row_groups):
+            n = pf.metadata.row_group(g).num_rows
+            assert n == 1 or n * per_row <= cfg.max_row_group_bytes
+            seen_groups += 1
+    assert seen_groups > 2  # the cap actually split groups
+
+
 def test_filewise_tamper_fails_fast(ray_session, small_cfg,
                                     tmp_path_factory):
     """sha256 invariant violation inside the filewise runner raises and

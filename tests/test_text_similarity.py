@@ -108,11 +108,8 @@ def test_line_stats_batch_matches_python():
 def test_media_decode_stage(ray_session):
     import ray.data as rd
 
-    from dqm_ray.functions.multimodal import (MediaDecodeStage, decode_media,
+    from dqm_ray.functions.multimodal import (decode_media,
                                               synthesize_media_table)
-
-    with pytest.raises(NotImplementedError):
-        MediaDecodeStage(strict=True)  # no codec libs in this sandbox
 
     t = synthesize_media_table(32, seed=2)
     out = decode_media(rd.from_arrow(t), strict=False, concurrency=2,
@@ -125,6 +122,50 @@ def test_media_decode_stage(ray_session):
     m1 = out.sort_values("media_id")["checksum"].tolist()
     m2 = out2.sort_values("media_id")["checksum"].tolist()
     assert m1 == m2
+
+
+def test_codec_round_trips():
+    import numpy as np
+
+    from dqm_ray.functions.codecs import (decode_bmp, decode_wav,
+                                          encode_bmp, encode_wav)
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (7, 5), (16, 33), (32, 32)]:  # odd widths pad
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        back = decode_bmp(encode_bmp(img))
+        assert back.shape == (h, w, 3) and (back == img).all()
+    for n, ch, rate in [(1, 1, 8000), (777, 2, 22050), (2048, 1, 16000)]:
+        smp = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+        back, r2 = decode_wav(encode_wav(smp, rate))
+        assert r2 == rate and back.shape == (n, ch) and (back == smp).all()
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bmp at all----------------------------------------")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK")
+
+
+def test_media_strict_decode_inverts_encode(ray_session):
+    """Strict mode really parses container bytes: decoded metadata must
+    equal the pre-encode ground truth stored in the source table."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from dqm_ray.functions.multimodal import (MediaDecodeStage, decode_media,
+                                              synthesize_media_table)
+
+    t = synthesize_media_table(40, seed=5)
+    av = t.filter(pc.not_equal(t.column("kind"), "video"))
+    out = decode_media(rd.from_arrow(av), strict=True, concurrency=2,
+                       batch_size=8).to_pandas().sort_values("media_id")
+    exp = av.to_pandas().sort_values("media_id")
+    for c in ("width", "height", "n_channels", "sample_rate",
+              "n_samples", "val_sum"):
+        assert out[c].tolist() == exp[c].tolist(), c
+    # strict refuses payloads with no available codec (video/mp4 here)
+    vid = t.filter(pc.equal(t.column("kind"), "video"))
+    with pytest.raises(NotImplementedError):
+        MediaDecodeStage(strict=True)(vid)
 
 
 def test_frame_sample_stage(ray_session):
