@@ -30,7 +30,22 @@ class LineageError(RuntimeError):
 
 def sha256_column(content: pa.Array) -> pa.Array:
     binary = content.cast(pa.large_binary())
-    buf = [hashlib.sha256(v.as_py()).hexdigest() for v in binary]
+    if isinstance(binary, pa.ChunkedArray):
+        binary = binary.combine_chunks()
+    # zero-copy per-row hashing: sha256 reads memoryview slices of the
+    # shared data buffer directly (the as_py() path materialized a
+    # Python bytes copy of every row first)
+    if binary.null_count == 0 and len(binary) and binary.buffers()[2]:
+        import numpy as np
+
+        off = np.frombuffer(binary.buffers()[1], np.int64)[
+            binary.offset:binary.offset + len(binary) + 1].tolist()
+        mv = memoryview(binary.buffers()[2])
+        buf = [hashlib.sha256(mv[s:e]).hexdigest()
+               for s, e in zip(off[:-1], off[1:])]
+    else:
+        buf = [hashlib.sha256(v.as_py()).hexdigest() if v.is_valid else None
+               for v in binary]
     return pa.array(buf, pa.string())
 
 

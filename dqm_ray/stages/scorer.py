@@ -54,6 +54,22 @@ class VectorBigramModel:
         lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
         offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=offs[1:])
+        return self._ppl_core(ids, offs, lens)
+
+    def log_ppl_buffer(self, data: np.ndarray,
+                       offs: np.ndarray) -> np.ndarray:
+        """ASCII fast path: score straight off a string column's raw
+        utf8 buffer (byte == codepoint, ids are the bytes themselves) —
+        no to_pylist, no join, no utf-32 encode. Bit-identical to
+        log_ppl_many on the same ASCII rows: the concatenated id
+        sequence and every subsequent op are the same arrays."""
+        ids = np.minimum(data, np.uint8(127))
+        offs = np.asarray(offs, dtype=np.int64)
+        return self._ppl_core(ids, offs, np.diff(offs))
+
+    def _ppl_core(self, ids: np.ndarray, offs: np.ndarray,
+                  lens: np.ndarray) -> np.ndarray:
+        n = len(lens)
         out = np.zeros(n, dtype=np.float64)
         if len(ids) < 2:
             return out
@@ -132,9 +148,13 @@ class ScorerStage:
                               for l in self.lang_names]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from dqm_ray.stages.rules import (is_ascii_batch, prefix_slice,
+                                          string_buffer_view)
+
         cfg = self.cfg
         content = batch.column("content").combine_chunks()
-        prefix = pc.utf8_slice_codeunits(content, 0, cfg.scorer_prefix_chars)
+        ascii_ok = is_ascii_batch(content)
+        prefix = prefix_slice(content, cfg.scorer_prefix_chars, ascii_ok)
 
         # marker-hit matrix: (n_langs, n_rows), one alternation scan/lang
         n = len(batch)
@@ -149,8 +169,12 @@ class ScorerStage:
             best_hits >= cfg.langid_min_marker_hits,
             np.array(self.lang_names, dtype=object)[best], "unknown")
 
-        texts = prefix.to_pylist()
-        log_ppl = self.model.log_ppl_many(texts)
+        view = string_buffer_view(prefix) if (
+            ascii_ok and hasattr(self.model, "log_ppl_buffer")) else None
+        if view is not None:
+            log_ppl = self.model.log_ppl_buffer(*view)
+        else:
+            log_ppl = self.model.log_ppl_many(prefix.to_pylist())
 
         # lang_mismatch: declared lang has a marker profile, file is big
         # enough, none of the declared lang's markers appear

@@ -110,3 +110,41 @@ def test_all_rules_disabled_yields_empty_reason_lists(cfg):
                                       pa.large_string())})
     out = heuristic_rules_batch(t, cfg=bare)
     assert out["rule_reasons"].to_pylist() == [[], [], []]
+
+
+def test_ascii_fast_path_equals_utf8_path(cfg):
+    """The ASCII byte==codepoint fast paths (binary_slice prefix,
+    binary_length n_chars, buffer-path ppl) must be bit-identical to
+    the utf8 kernels; a single non-ASCII row disables them for the
+    whole batch, so both paths run on the same mixed corpus."""
+    from dqm_ray.stages.rules import (heuristic_rules_batch, is_ascii_batch,
+                                      prefix_slice)
+    from dqm_ray.stages.scorer import ScorerStage
+
+    ascii_rows = ["def f():\n    return 1\n" * 40, "", "x" * 5000,
+                  "line\n" * 30]
+    mixed_rows = ascii_rows + ["café ☃\nnon-ascii row\n" * 20]
+
+    for rows in (ascii_rows, mixed_rows):
+        t = pa.table({"repo": pa.array(["r"] * len(rows)),
+                      "path": pa.array([f"p{i}" for i in range(len(rows))]),
+                      "commit": pa.array(["c"] * len(rows)),
+                      "lang": pa.array(["python"] * len(rows)),
+                      "content": pa.array(rows, pa.large_string())})
+        content = t["content"].combine_chunks()
+        ascii_ok = is_ascii_batch(content)
+        assert ascii_ok == (rows is ascii_rows)
+        # prefix: both paths agree wherever the fast path claims validity
+        fast = prefix_slice(content, 7, ascii_ok).to_pylist()
+        slow = prefix_slice(content, 7, False).to_pylist()
+        assert fast == slow
+        out = heuristic_rules_batch(t, cfg=cfg).to_pandas()
+        assert out["n_chars"].tolist() == [len(r) for r in rows]
+        sc = ScorerStage(cfg)(t).to_pandas()
+        # ppl on the ascii batch (buffer path) == list path on same rows
+        want = sc if rows is ascii_rows else None
+        if want is not None:
+            via_list = ScorerStage(cfg).model.log_ppl_many(
+                prefix_slice(content, cfg.scorer_prefix_chars,
+                             False).to_pylist())
+            assert sc["log_ppl"].tolist() == via_list.tolist()
