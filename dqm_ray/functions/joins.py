@@ -265,24 +265,25 @@ def interval_join(intervals, points, *, by: str, start_col: str,
             "p": pa.array(p),
         })
 
-    def add_part(batch: pa.Table) -> pa.Table:
+    def _with_part_and_side(batch: pa.Table, side: int) -> pa.Table:
         k = batch.column("key").to_numpy(zero_copy_only=False)
         b = batch.column("bin").to_numpy(zero_copy_only=False)
         part = ((pd.util.hash_array(k.astype(np.int64))
                  ^ pd.util.hash_array(b.astype(np.int64)))
                 % num_parts).astype(np.int32)
-        return batch.append_column("part", pa.array(part, pa.int32()))
+        return batch.append_column("part", pa.array(part, pa.int32())) \
+            .append_column("side", pa.array(
+                np.full(len(batch), side, np.int8)))
 
-    left = intervals.map_batches(tag_intervals, batch_format="pyarrow") \
-        .map_batches(add_part, batch_format="pyarrow") \
-        .map_batches(lambda t: t.append_column(
-            "side", pa.array(np.zeros(len(t), np.int8))),
-            batch_format="pyarrow")
-    right = points.map_batches(tag_points, batch_format="pyarrow") \
-        .map_batches(add_part, batch_format="pyarrow") \
-        .map_batches(lambda t: t.append_column(
-            "side", pa.array(np.ones(len(t), np.int8))),
-            batch_format="pyarrow")
+    # ONE fused map_batches per side: tag + part + side in-process —
+    # three chained stages would hand every tagged block through the
+    # object store twice more for no reason
+    left = intervals.map_batches(
+        lambda t: _with_part_and_side(tag_intervals(t), 0),
+        batch_format="pyarrow")
+    right = points.map_batches(
+        lambda t: _with_part_and_side(tag_points(t), 1),
+        batch_format="pyarrow")
 
     def join_part(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
