@@ -96,7 +96,8 @@ def _ntile(rank: np.ndarray, n: int, k: int) -> np.ndarray:
 def perplexity_buckets(ds, logq: np.ndarray, *, text_col: str = "text",
                        lang_col: str = "lang", id_col: str = "doc_id",
                        n_buckets: int = 3, n_bins: int | None = None,
-                       carry_cols: tuple = ()):
+                       carry_cols: tuple = (),
+                       max_group_rows: int | None = 50_000_000):
     """Return (id_col, lang[, carry_cols...], ppl_micro, bucket):
     bucket 1 = head (lowest perplexity) ... ``n_buckets`` = tail, per
     language. ``carry_cols`` ride through unchanged (for composition —
@@ -161,6 +162,22 @@ def perplexity_buckets(ds, logq: np.ndarray, *, text_col: str = "text",
     for r in rows:
         arr = per_lang.setdefault(r[lang_col], np.zeros(n_bins, np.int64))
         arr[int(r["bin"])] = int(r["c"])
+    # skew guard (driver-side, free: the counts are already here): a
+    # (lang, bin) group is sorted whole on one worker, so a
+    # concentrated perplexity distribution — many docs sharing one
+    # ppl_micro — can silently funnel a corpus-scale group to one task.
+    # Fail actionably instead of OOMing the worker.
+    if max_group_rows is not None:
+        worst = max(((l, int(b), int(c)) for l, a in per_lang.items()
+                     for b, c in enumerate(a) if c), key=lambda x: x[2],
+                    default=None)
+        if worst and worst[2] > max_group_rows:
+            raise ValueError(
+                f"perplexity_buckets skew: (lang={worst[0]}, bin={worst[1]}) "
+                f"holds {worst[2]} rows > max_group_rows={max_group_rows}. "
+                "Raise n_bins (spreads distinct values), raise "
+                "max_group_rows if the worker can hold it, or pre-split "
+                "the offending language upstream.")
     offsets = {l: np.concatenate(([0], np.cumsum(a)[:-1]))
                for l, a in per_lang.items()}
     totals = {l: int(a.sum()) for l, a in per_lang.items()}

@@ -1,0 +1,25 @@
+
+
+def test_perplexity_buckets_skew_guard(ray_session):
+    """An oversized (lang, bin) group fails with an actionable error
+    instead of silently funneling to one worker."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from dqm_ray.functions.ccnet import perplexity_buckets
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(200), pa.int64()),
+        "lang": pa.array(["en"] * 200),
+        "text": pa.array(["same text every row"] * 200),  # one ppl value
+    })
+    logq = np.zeros((128, 128), np.int64)
+    with pytest.raises(ValueError, match="skew"):
+        perplexity_buckets(rd.from_arrow(t), logq,
+                           max_group_rows=50).to_pandas()
+    # and the same corpus passes with the guard sized correctly
+    out = perplexity_buckets(rd.from_arrow(t), logq,
+                             max_group_rows=500).to_pandas()
+    assert len(out) == 200

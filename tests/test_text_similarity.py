@@ -370,3 +370,33 @@ def test_project_embeddings_preserves_distances(ray_session):
         .sort_values(["vec_id", "p"])
     assert (out2["value"].to_numpy()
             == out["value"].to_numpy()).all()
+
+
+def test_codec_round_trip_fuzz():
+    """Property fuzz: decode(encode(x)) == x for arbitrary shapes/values
+    (odd widths exercise BMP row padding; odd sample counts exercise
+    WAV word alignment)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dqm_ray.functions.codecs import (decode_bmp, decode_wav,
+                                          encode_bmp, encode_wav)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**31 - 1))
+    def bmp_prop(h, w, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 3000), st.integers(1, 2),
+           st.sampled_from([8000, 16000, 44100]), st.integers(0, 2**31 - 1))
+    def wav_prop(n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        smp = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+        back, r2 = decode_wav(encode_wav(smp, rate))
+        assert r2 == rate and (back == smp).all()
+
+    bmp_prop()
+    wav_prop()
