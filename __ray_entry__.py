@@ -1876,6 +1876,38 @@ def _q_events_in_window(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_windowed_counts(sf_dir: str):
+    """Same contract as events_in_window (same-user events in the 30
+    minutes before each purchase, inclusive) computed in ONE all-to-all
+    instead of two: windows.windowed_count co-locates by user and
+    resolves every anchor window with two searchsorted probes per part
+    — the scale-preferred shape when the window key is the join key."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from dqm_ray.functions.windows import windowed_count
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"])
+
+    def mark(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts": b.column("ts"),
+            "is_purchase": pc.equal(b.column("event_type"), "purchase"),
+        })
+
+    out = windowed_count(ds.map_batches(mark, batch_format="pyarrow"),
+                         key_col="user_id", ts_col="ts",
+                         anchor_col="is_purchase", id_col="event_id",
+                         window_us=30 * 60 * 1_000_000)
+    return out.map_batches(
+        lambda t: t.rename_columns(["purchase_id", "n"]),
+        batch_format="pyarrow")
+
+
 def _q_top_terms(sf_dir: str):
     """Corpus heavy hitters: top-100 lowercase word tokens by frequency
     (ties by term) — per-batch Arrow tokenize + value_counts, vocabulary-
@@ -2068,6 +2100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": _q_corpus_diff,
         "project_embeddings": _q_project_embeddings,
         "minhash_dedup": _q_minhash_dedup,
+        "windowed_counts": _q_windowed_counts,
         "doc_line_stats": _q_doc_line_stats,
         "pii_scrub": _q_pii_scrub,
         "top_k_per_lang": _q_top_k_per_lang,
@@ -3500,6 +3533,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey""",
         "events_in_window": """
+            SELECT p.event_id AS purchase_id, count(*) AS n
+            FROM events p JOIN events e
+              ON e.user_id = p.user_id
+             AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id""",
+        "windowed_counts": """
             SELECT p.event_id AS purchase_id, count(*) AS n
             FROM events p JOIN events e
               ON e.user_id = p.user_id

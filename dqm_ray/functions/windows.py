@@ -273,3 +273,58 @@ def funnel(ds, *, user_col: str = "user_id", ts_col: str = "ts",
 
     return _with_part(ds, user_col).groupby("part") \
         .map_groups(part_funnel, batch_format="pandas")
+
+
+def windowed_count(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                   anchor_col: str, id_col: str, window_us: int,
+                   n_parts: int | None = None):
+    """For each anchor row, the count of same-key rows with
+    ``ts in [anchor_ts - window_us, anchor_ts]`` (inclusive; the anchor
+    itself counts). Returns (id_col, n) for anchor rows only.
+
+    ONE all-to-all, vs two for the equivalent
+    ``interval_join(...).groupby().count()``: keys co-locate by hash
+    part, each part is lexsorted once by (key, ts), and every anchor's
+    window resolves with two ``np.searchsorted`` probes against a
+    composite ``rank*span + (ts - t0)`` key — exact lexicographic
+    (key, ts) order packed into int64. ``span`` is the part's local ts
+    range, so the packing overflows only if distinct-keys-per-part x
+    ts-range exceeds 2^63 — raise ``n_parts`` in that case (the guard
+    raises with that advice; pure co-location keeps results
+    part-count-invariant)."""
+
+    def part_count(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key_col].to_numpy()
+        t = df[ts_col].to_numpy()
+        if np.issubdtype(t.dtype, np.datetime64):
+            t = t.astype("datetime64[us]").astype(np.int64)
+        else:
+            t = t.astype(np.int64)
+        a = df[anchor_col].to_numpy().astype(bool)
+        ids = df[id_col].to_numpy()
+        if not len(k):
+            return pd.DataFrame({id_col: ids,
+                                 "n": np.empty(0, np.int64)})
+        order = np.lexsort((t, k))
+        k, t, a, ids = k[order], t[order], a[order], ids[order]
+        new_key = np.ones(len(k), dtype=bool)
+        new_key[1:] = k[1:] != k[:-1]
+        rank = np.cumsum(new_key) - 1          # dense key rank, sorted
+        t0 = int(t.min())
+        span = int(t.max()) - t0 + 2
+        if int(rank[-1] + 1) * span >= 2 ** 63:
+            raise ValueError(
+                f"windowed_count composite-key overflow: "
+                f"{int(rank[-1] + 1)} keys x ts-span {span} in one part; "
+                "raise n_parts so each part holds fewer keys")
+        comp = rank * span + (t - t0)
+        ra, ta = rank[a], t[a]
+        hi = np.searchsorted(comp, ra * span + (ta - t0), side="right")
+        lo = np.searchsorted(
+            comp, ra * span + np.maximum(ta - window_us - t0, 0),
+            side="left")
+        return pd.DataFrame({id_col: ids[a],
+                             "n": (hi - lo).astype(np.int64)})
+
+    return _with_part(ds, key_col, n_parts).groupby("part") \
+        .map_groups(part_count, batch_format="pandas")

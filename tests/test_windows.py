@@ -162,3 +162,44 @@ def test_funnel_conversion_semantics(ray_session):
     assert out.index.tolist() == [1, 2, 3, 4, 5]
     assert out["n_clicks"].tolist() == [1, 1, 1, 1, 1]
     assert out["n_converted"].tolist() == [1, 0, 1, 0, 0]
+
+
+def test_windowed_count_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dqm_ray.functions.windows import windowed_count
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": rng.integers(0, 10**7, n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "is_anchor": rng.random(n) < 0.2,
+    })
+    W = 250_000
+    got = windowed_count(rd.from_arrow(pa.Table.from_pandas(df)),
+                         key_col="user_id", ts_col="ts",
+                         anchor_col="is_anchor", id_col="event_id",
+                         window_us=W).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    # brute-force oracle
+    want = []
+    for _, r in df[df["is_anchor"]].iterrows():
+        m = (df["user_id"] == r["user_id"]) & \
+            (df["ts"] >= r["ts"] - W) & (df["ts"] <= r["ts"])
+        want.append((r["event_id"], int(m.sum())))
+    want = pd.DataFrame(want, columns=["event_id", "n"]) \
+        .sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    # part-count invariance
+    got8 = windowed_count(rd.from_arrow(pa.Table.from_pandas(df)),
+                          key_col="user_id", ts_col="ts",
+                          anchor_col="is_anchor", id_col="event_id",
+                          window_us=W, n_parts=3).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert got8["n"].tolist() == got["n"].tolist()
