@@ -180,6 +180,44 @@ def asof_join(left, right, *, by: str, on: str, suffix: str = "_r",
         r = g[g["__side"] == 1][[by, on, *r_value_cols]]
         if not len(l):
             return pd.DataFrame()
+        if direction == "backward" and len(r):
+            # composite-searchsorted asof (the windowed_count packing):
+            # factorize keys over BOTH sides, pack (code, on) into one
+            # int64, and resolve every left row with a single
+            # searchsorted over the right side — merge_asof(by=) walks
+            # a per-key Cython path that is several times slower on
+            # many-key parts. Equal (by, on) ties: right sorted stable
+            # ascending by tiebreak, searchsorted('right')-1 lands on
+            # the max-tiebreak row — the documented contract.
+            lo_np = l[on].to_numpy()
+            ro_np = r[on].to_numpy()
+            if np.issubdtype(lo_np.dtype, np.datetime64):
+                lo_np = lo_np.astype("datetime64[us]").astype(np.int64)
+                ro_np = ro_np.astype("datetime64[us]").astype(np.int64)
+            else:
+                lo_np, ro_np = lo_np.astype(np.int64), ro_np.astype(np.int64)
+            codes, _ = pd.factorize(
+                np.concatenate([l[by].to_numpy(), r[by].to_numpy()]))
+            lc, rc = codes[:len(l)].astype(np.int64), \
+                codes[len(l):].astype(np.int64)
+            t0 = int(min(lo_np.min(), ro_np.min()))
+            span = int(max(lo_np.max(), ro_np.max())) - t0 + 2
+            if int(codes.max() + 1) * span < 2 ** 63:
+                rsort = np.lexsort(
+                    ((r[tb].to_numpy() if tb else np.zeros(len(r))),
+                     ro_np, rc))
+                r_comp = rc[rsort] * span + (ro_np[rsort] - t0)
+                pos = np.searchsorted(
+                    r_comp, lc * span + (lo_np - t0), side="right") - 1
+                valid = (pos >= 0) & (rc[rsort][np.maximum(pos, 0)] == lc)
+                taken = r[r_value_cols].iloc[rsort[np.maximum(pos, 0)]] \
+                    .reset_index(drop=True)
+                out = l.reset_index(drop=True)
+                vs = pd.Series(valid)
+                for c in r_value_cols:
+                    out[c] = taken[c].where(vs)
+                return out
+        # fallback (forward/nearest directions, or packing overflow):
         # merge_asof(by=...) needs both frames sorted by `on` globally;
         # within equal (by, on), the LAST right row wins, so a stable
         # sort ascending by tiebreak makes the max-tiebreak row win.
