@@ -78,6 +78,9 @@ def fourier_total(ds, *, key: str, value_col: str, order_col: str,
 
     parts = ds.groupby(key).map_groups(per_group, batch_format="pandas")
     df = parts.to_pandas()  # (n_keys × n_points/2) rows — small
+    if df.empty:  # no qualifying key (tiny inputs) — typed empty frame
+        return pd.DataFrame({"freq_idx": pd.Series(dtype="int64"),
+                             "magnitude": pd.Series(dtype="float64")})
     agg = df.groupby("freq_idx", as_index=False)[["re", "im"]].sum()
     agg["magnitude"] = np.hypot(agg["re"], agg["im"])
     return agg[["freq_idx", "magnitude"]]
