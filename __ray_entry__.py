@@ -1908,6 +1908,42 @@ def _q_windowed_counts(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_windowed_revenue(sf_dir: str):
+    """Windowed SUM sibling of windowed_counts: per purchase, the sum of
+    floor(value) over same-user events in the preceding 30 minutes
+    (inclusive). floor() is exact on doubles in BOTH engines (no
+    half-way ties — the asof_prior_view lesson), so the int64 window
+    sum is bitwise-oracled; the kernel is csum[hi]-csum[lo] at the two
+    searchsorted probes (windows.windowed_sum)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from dqm_ray.functions.windows import windowed_sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts", "value"])
+
+    def mark(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts": b.column("ts"),
+            "value_floor": pa.array(np.floor(v).astype(np.int64)),
+            "is_purchase": pc.equal(b.column("event_type"), "purchase"),
+        })
+
+    out = windowed_sum(ds.map_batches(mark, batch_format="pyarrow"),
+                       key_col="user_id", ts_col="ts",
+                       anchor_col="is_purchase", id_col="event_id",
+                       value_col="value_floor",
+                       window_us=30 * 60 * 1_000_000)
+    return out.map_batches(
+        lambda t: t.rename_columns(["purchase_id", "win_sum"]),
+        batch_format="pyarrow")
+
+
 def _q_top_terms(sf_dir: str):
     """Corpus heavy hitters: top-100 lowercase word tokens by frequency
     (ties by term) — per-batch Arrow tokenize + value_counts, vocabulary-
@@ -2101,6 +2137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "project_embeddings": _q_project_embeddings,
         "minhash_dedup": _q_minhash_dedup,
         "windowed_counts": _q_windowed_counts,
+        "windowed_revenue": _q_windowed_revenue,
         "doc_line_stats": _q_doc_line_stats,
         "pii_scrub": _q_pii_scrub,
         "top_k_per_lang": _q_top_k_per_lang,
@@ -3541,6 +3578,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.event_id""",
         "windowed_counts": """
             SELECT p.event_id AS purchase_id, count(*) AS n
+            FROM events p JOIN events e
+              ON e.user_id = p.user_id
+             AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id""",
+        "windowed_revenue": """
+            SELECT p.event_id AS purchase_id,
+                   SUM(CAST(floor(e.value) AS BIGINT)) AS win_sum
             FROM events p JOIN events e
               ON e.user_id = p.user_id
              AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts

@@ -328,3 +328,59 @@ def windowed_count(ds, *, key_col: str = "user_id", ts_col: str = "ts",
 
     return _with_part(ds, key_col, n_parts).groupby("part") \
         .map_groups(part_count, batch_format="pandas")
+
+
+def windowed_sum(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                 anchor_col: str, id_col: str, value_col: str,
+                 window_us: int, n_parts: int | None = None):
+    """For each anchor row, the SUM of ``value_col`` (int64 — use
+    integer micro-units for money/float values, the repo's exactness
+    rule) over same-key rows with ``ts in [anchor_ts - window_us,
+    anchor_ts]``. Returns (id_col, win_sum).
+
+    Same one-shuffle shape as :func:`windowed_count`; the window sum
+    falls out of an exclusive prefix sum over the part's sorted values:
+    ``csum[hi] - csum[lo]`` at the two searchsorted probe positions —
+    exact, since int64 addition is associative (float values would make
+    the result depend on accumulation order; the API refuses them)."""
+
+    def part_sum(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key_col].to_numpy()
+        t = df[ts_col].to_numpy()
+        if np.issubdtype(t.dtype, np.datetime64):
+            t = t.astype("datetime64[us]").astype(np.int64)
+        else:
+            t = t.astype(np.int64)
+        v = df[value_col].to_numpy()
+        if v.dtype.kind not in "iu":
+            raise TypeError(
+                f"windowed_sum needs an integer value column (got "
+                f"{v.dtype}); quantize floats to micro-units upstream")
+        v = v.astype(np.int64)
+        a = df[anchor_col].to_numpy().astype(bool)
+        ids = df[id_col].to_numpy()
+        if not len(k):
+            return pd.DataFrame({id_col: ids,
+                                 "win_sum": np.empty(0, np.int64)})
+        order = np.lexsort((t, k))
+        k, t, v, a, ids = k[order], t[order], v[order], a[order], ids[order]
+        new_key = np.ones(len(k), dtype=bool)
+        new_key[1:] = k[1:] != k[:-1]
+        rank = np.cumsum(new_key) - 1
+        t0 = int(t.min())
+        span = int(t.max()) - t0 + 2
+        if int(rank[-1] + 1) * span >= 2 ** 63:
+            raise ValueError(
+                "windowed_sum composite-key overflow; raise n_parts")
+        comp = rank * span + (t - t0)
+        csum = np.concatenate(([0], np.cumsum(v)))
+        ra, ta = rank[a], t[a]
+        hi = np.searchsorted(comp, ra * span + (ta - t0), side="right")
+        lo = np.searchsorted(
+            comp, ra * span + np.maximum(ta - window_us - t0, 0),
+            side="left")
+        return pd.DataFrame({id_col: ids[a],
+                             "win_sum": csum[hi] - csum[lo]})
+
+    return _with_part(ds, key_col, n_parts).groupby("part") \
+        .map_groups(part_sum, batch_format="pandas")

@@ -203,3 +203,45 @@ def test_windowed_count_matches_bruteforce(ray_session):
                           window_us=W, n_parts=3).to_pandas() \
         .sort_values("event_id").reset_index(drop=True)
     assert got8["n"].tolist() == got["n"].tolist()
+
+
+def test_windowed_sum_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from dqm_ray.functions.windows import windowed_sum
+
+    rng = np.random.default_rng(29)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n),
+        "ts": rng.integers(0, 10**6, n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "v": rng.integers(-50, 50, n),
+        "is_anchor": rng.random(n) < 0.25,
+    })
+    W = 40_000
+    got = windowed_sum(rd.from_arrow(pa.Table.from_pandas(df)),
+                       key_col="user_id", ts_col="ts",
+                       anchor_col="is_anchor", id_col="event_id",
+                       value_col="v", window_us=W).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = []
+    for _, r in df[df["is_anchor"]].iterrows():
+        m = (df["user_id"] == r["user_id"]) & \
+            (df["ts"] >= r["ts"] - W) & (df["ts"] <= r["ts"])
+        want.append((r["event_id"], int(df.loc[m, "v"].sum())))
+    want = pd.DataFrame(want, columns=["event_id", "win_sum"]) \
+        .sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["win_sum"].tolist() == want["win_sum"].tolist()
+    # float value columns are refused (accumulation-order exactness rule)
+    fdf = df.assign(v=df["v"].astype(float))
+    with pytest.raises(Exception):
+        windowed_sum(rd.from_arrow(pa.Table.from_pandas(fdf)),
+                     key_col="user_id", ts_col="ts",
+                     anchor_col="is_anchor", id_col="event_id",
+                     value_col="v", window_us=W).to_pandas()
