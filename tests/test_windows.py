@@ -245,3 +245,45 @@ def test_windowed_sum_matches_bruteforce(ray_session):
                      key_col="user_id", ts_col="ts",
                      anchor_col="is_anchor", id_col="event_id",
                      value_col="v", window_us=W).to_pandas()
+
+
+def test_windowed_ops_fuzz(ray_session):
+    """Property fuzz vs brute force: arbitrary key/ts collisions, ties
+    on the window boundary, anchors at segment edges."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dqm_ray.functions.windows import windowed_count, windowed_sum
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.integers(0, 2**31 - 1), st.integers(20, 150),
+           st.integers(1, 6), st.integers(1, 50))
+    def prop(seed, n, n_keys, W):
+        rng = np.random.default_rng(seed)
+        df = pd.DataFrame({
+            "k": rng.integers(0, n_keys, n),
+            "ts": rng.integers(0, 60, n),      # dense → many exact ties
+            "eid": np.arange(n, dtype=np.int64),
+            "v": rng.integers(-9, 9, n),
+            "a": rng.random(n) < 0.4,
+        })
+        t = pa.Table.from_pandas(df)
+        gc = windowed_count(rd.from_arrow(t), key_col="k", ts_col="ts",
+                            anchor_col="a", id_col="eid",
+                            window_us=W, n_parts=3).to_pandas() \
+            .set_index("eid")["n"]
+        gs = windowed_sum(rd.from_arrow(t), key_col="k", ts_col="ts",
+                          anchor_col="a", id_col="eid", value_col="v",
+                          window_us=W, n_parts=3).to_pandas() \
+            .set_index("eid")["win_sum"]
+        for _, r in df[df["a"]].iterrows():
+            m = (df["k"] == r["k"]) & (df["ts"] >= r["ts"] - W) \
+                & (df["ts"] <= r["ts"])
+            assert gc[r["eid"]] == int(m.sum())
+            assert gs[r["eid"]] == int(df.loc[m, "v"].sum())
+
+    prop()
