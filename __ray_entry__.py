@@ -1944,6 +1944,41 @@ def _q_windowed_revenue(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_windowed_peak(sf_dir: str):
+    """Windowed MAX sibling: per purchase, the max event value of the
+    same user in the preceding 30 minutes (inclusive). Float-safe
+    without quantization — max selects an existing double, so both
+    engines return the identical bit pattern (no accumulation order).
+    Kernel = sparse-table RMQ over the part's sorted values
+    (windows.windowed_extreme)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from dqm_ray.functions.windows import windowed_extreme
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts", "value"])
+
+    def mark(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts": b.column("ts"),
+            "value": b.column("value"),
+            "is_purchase": pc.equal(b.column("event_type"), "purchase"),
+        })
+
+    out = windowed_extreme(ds.map_batches(mark, batch_format="pyarrow"),
+                           key_col="user_id", ts_col="ts",
+                           anchor_col="is_purchase", id_col="event_id",
+                           value_col="value", mode="max",
+                           window_us=30 * 60 * 1_000_000)
+    return out.map_batches(
+        lambda t: t.rename_columns(["purchase_id", "peak"]),
+        batch_format="pyarrow")
+
+
 def _q_top_terms(sf_dir: str):
     """Corpus heavy hitters: top-100 lowercase word tokens by frequency
     (ties by term) — per-batch Arrow tokenize + value_counts, vocabulary-
@@ -2138,6 +2173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "windowed_counts": _q_windowed_counts,
         "windowed_revenue": _q_windowed_revenue,
+        "windowed_peak": _q_windowed_peak,
         "doc_line_stats": _q_doc_line_stats,
         "pii_scrub": _q_pii_scrub,
         "top_k_per_lang": _q_top_k_per_lang,
@@ -3586,6 +3622,13 @@ def oracle_sql() -> dict[str, str]:
         "windowed_revenue": """
             SELECT p.event_id AS purchase_id,
                    SUM(CAST(floor(e.value) AS BIGINT)) AS win_sum
+            FROM events p JOIN events e
+              ON e.user_id = p.user_id
+             AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id""",
+        "windowed_peak": """
+            SELECT p.event_id AS purchase_id, MAX(e.value) AS peak
             FROM events p JOIN events e
               ON e.user_id = p.user_id
              AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts

@@ -36,7 +36,7 @@ BENCH_QUERIES = ["doc_line_stats", "pii_scrub", "lineage_sha256",
                  "grouped_stats", "exact_dedup", "minhash_dedup",
                  "token_counts", "q1_pricing", "events_hourly",
                  "knn_cosine", "decontaminate", "top_terms",
-                 "docprep", "events_in_window", "windowed_counts", "windowed_revenue",
+                 "docprep", "events_in_window", "windowed_counts", "windowed_revenue", "windowed_peak",
                  "bucketed_join_revenue",
                  "boilerplate_lines", "doc_chunks", "kmeans_embeddings",
                  "repetition_stats", "key_deltas", "pack_sequences",

@@ -384,3 +384,75 @@ def windowed_sum(ds, *, key_col: str = "user_id", ts_col: str = "ts",
 
     return _with_part(ds, key_col, n_parts).groupby("part") \
         .map_groups(part_sum, batch_format="pandas")
+
+
+def windowed_extreme(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                     anchor_col: str, id_col: str, value_col: str,
+                     window_us: int, mode: str = "max",
+                     n_parts: int | None = None):
+    """For each anchor row, the MAX (or MIN) of ``value_col`` over
+    same-key rows with ``ts in [anchor_ts - window_us, anchor_ts]``.
+    Returns (id_col, win_extreme). Unlike :func:`windowed_sum` this is
+    float-safe: min/max select an existing element, so the result is
+    bit-identical regardless of evaluation order.
+
+    Kernel: the two searchsorted probes give each anchor a contiguous
+    index range [lo, hi) in the part's (key, ts)-sorted value array;
+    the range extreme comes from a sparse-table RMQ — log2(n) levels of
+    pairwise np.maximum built once per part (O(n log n) int64/float64,
+    fully vectorized), then every query answers from two overlapping
+    power-of-two blocks. Queries group by their level, so the probe
+    loop runs once per DISTINCT window length class (<= 40 iterations),
+    never per anchor."""
+    if mode not in ("max", "min"):
+        raise ValueError("mode must be 'max' or 'min'")
+
+    def part_extreme(df: pd.DataFrame) -> pd.DataFrame:
+        reduce_fn = np.maximum if mode == "max" else np.minimum
+        k = df[key_col].to_numpy()
+        t = df[ts_col].to_numpy()
+        if np.issubdtype(t.dtype, np.datetime64):
+            t = t.astype("datetime64[us]").astype(np.int64)
+        else:
+            t = t.astype(np.int64)
+        v = df[value_col].to_numpy()
+        a = df[anchor_col].to_numpy().astype(bool)
+        ids = df[id_col].to_numpy()
+        if not len(k):
+            return pd.DataFrame({id_col: ids,
+                                 "win_extreme": v})
+        order = np.lexsort((t, k))
+        k, t, v, a, ids = k[order], t[order], v[order], a[order], ids[order]
+        new_key = np.ones(len(k), dtype=bool)
+        new_key[1:] = k[1:] != k[:-1]
+        rank = np.cumsum(new_key) - 1
+        t0 = int(t.min())
+        span = int(t.max()) - t0 + 2
+        if int(rank[-1] + 1) * span >= 2 ** 63:
+            raise ValueError(
+                "windowed_extreme composite-key overflow; raise n_parts")
+        comp = rank * span + (t - t0)
+        ra, ta = rank[a], t[a]
+        hi = np.searchsorted(comp, ra * span + (ta - t0), side="right")
+        lo = np.searchsorted(
+            comp, ra * span + np.maximum(ta - window_us - t0, 0),
+            side="left")
+        # sparse table: st[j][i] = extreme of v[i : i + 2^j]
+        st = [v]
+        while (1 << len(st)) <= len(v):
+            h = 1 << (len(st) - 1)
+            st.append(reduce_fn(st[-1][:-h], st[-1][h:]))
+        lens = hi - lo                      # >= 1: the anchor is a row
+        out = np.empty(len(lens), dtype=v.dtype)
+        # bit length - 1 == floor(log2): exact for int windows
+        levels = np.zeros(len(lens), dtype=np.int64)
+        nz = lens > 0
+        levels[nz] = (np.frexp(lens[nz].astype(np.float64))[1] - 1)
+        for j in np.unique(levels[nz]):
+            m = nz & (levels == j)
+            blk = 1 << int(j)
+            out[m] = reduce_fn(st[j][lo[m]], st[j][hi[m] - blk])
+        return pd.DataFrame({id_col: ids[a], "win_extreme": out})
+
+    return _with_part(ds, key_col, n_parts).groupby("part") \
+        .map_groups(part_extreme, batch_format="pandas")

@@ -287,3 +287,34 @@ def test_windowed_ops_fuzz(ray_session):
             assert gs[r["eid"]] == int(df.loc[m, "v"].sum())
 
     prop()
+
+
+def test_windowed_extreme_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dqm_ray.functions.windows import windowed_extreme
+
+    rng = np.random.default_rng(31)
+    n = 2500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 30, n),
+        "ts": rng.integers(0, 10**6, n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "v": rng.standard_normal(n),          # float-safe: max picks rows
+        "is_anchor": rng.random(n) < 0.3,
+    })
+    W = 30_000
+    for mode, red in (("max", max), ("min", min)):
+        got = windowed_extreme(rd.from_arrow(pa.Table.from_pandas(df)),
+                               key_col="user_id", ts_col="ts",
+                               anchor_col="is_anchor", id_col="event_id",
+                               value_col="v", window_us=W, mode=mode,
+                               n_parts=5).to_pandas() \
+            .set_index("event_id")["win_extreme"]
+        for _, r in df[df["is_anchor"]].iterrows():
+            m = (df["user_id"] == r["user_id"]) & \
+                (df["ts"] >= r["ts"] - W) & (df["ts"] <= r["ts"])
+            assert got[r["event_id"]] == red(df.loc[m, "v"]), mode
