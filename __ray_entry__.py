@@ -1650,6 +1650,25 @@ def _q_media_decode(sf_dir: str):
         .select_columns(["media_id", "kind", "n_bytes", "checksum"])
 
 
+def _q_media_features(sf_dir: str):
+    """Decode + feature-extract (resize / energy — the MFCC-shaped
+    step): images nearest-neighbor-resize to 16x16 and sum; audio
+    reduces to an exact int64 energy sum. Oracle = pre-encode
+    expectations computed with the SAME kernel at synth time, so a
+    match proves decode + resize + reduce round-trip the container
+    bytes exactly."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from dqm_ray.functions.multimodal import (extract_media_features,
+                                              synthesize_media_table)
+
+    t = synthesize_media_table(n_rows=64, seed=21)
+    t = t.filter(pc.not_equal(t.column("kind"), "video"))
+    return extract_media_features(rd.from_arrow(t), thumb=16,
+                                  concurrency=2, batch_size=16)
+
+
 def _q_media_probe(sf_dir: str):
     """TRUE binary decode (strict mode): the built-in pure-numpy codecs
     (functions/codecs.py — uncompressed 24-bit BMP, PCM16 WAV) recover
@@ -2174,6 +2193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_counts": _q_windowed_counts,
         "windowed_revenue": _q_windowed_revenue,
         "windowed_peak": _q_windowed_peak,
+        "media_features": _q_media_features,
         "doc_line_stats": _q_doc_line_stats,
         "pii_scrub": _q_pii_scrub,
         "top_k_per_lang": _q_top_k_per_lang,
@@ -2777,7 +2797,7 @@ def _embedding_near_dup_oracle_sql(threshold: float = 0.25) -> str:
         FROM pairs WHERE sim >= {threshold}"""
 
 
-_MEDIA_SRC_PARQUET = os.path.join(_CACHE, "media_src_v2.parquet")
+_MEDIA_SRC_PARQUET = os.path.join(_CACHE, "media_src_v3.parquet")
 
 
 def _ensure_media_src_parquet() -> str:
@@ -2806,6 +2826,15 @@ def _media_decode_oracle_sql() -> str:
                octet_length(payload) AS n_bytes,
                substr(sha256(hex(payload)), 1, 16) AS checksum
         FROM read_parquet('{_MEDIA_SRC_PARQUET}')"""
+
+
+def _media_features_oracle_sql() -> str:
+    """Feature-extraction contract: the synth-time expectations (same
+    numpy kernel as the stage, computed on the pre-encode arrays)."""
+    return f"""
+        SELECT media_id, kind, thumb_sum, energy_sum
+        FROM read_parquet('{_MEDIA_SRC_PARQUET}')
+        WHERE kind != 'video'"""
 
 
 def _media_probe_oracle_sql() -> str:
@@ -3543,6 +3572,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "media_decode": _media_decode_oracle_sql(),
         "media_probe": _media_probe_oracle_sql(),
+        "media_features": _media_features_oracle_sql(),
         "fourier_events": _fourier_events_oracle_sql(),
         "fourier_total": _fourier_total_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),

@@ -32,7 +32,19 @@ MEDIA_SCHEMA = pa.schema([
     ("width", pa.int64()), ("height", pa.int64()),
     ("n_channels", pa.int64()), ("sample_rate", pa.int64()),
     ("n_samples", pa.int64()), ("val_sum", pa.int64()),
+    ("thumb_sum", pa.int64()), ("energy_sum", pa.int64()),
 ])
+
+_THUMB = 16  # synth-time expectation uses the stage default
+
+
+def _thumb_sum(img: np.ndarray, n: int = _THUMB) -> int:
+    """Nearest-neighbor n x n resize sum — the MediaFeatureStage kernel,
+    shared so synth expectations and stage output are the same ops."""
+    h, w, _ = img.shape
+    ri = (np.arange(n, dtype=np.int64) * h) // n
+    ci = (np.arange(n, dtype=np.int64) * w) // n
+    return int(img[ri][:, ci].sum(dtype=np.int64))
 
 
 def synthesize_media_table(n_rows: int = 64, seed: int = 21) -> pa.Table:
@@ -50,23 +62,25 @@ def synthesize_media_table(n_rows: int = 64, seed: int = 21) -> pa.Table:
             w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
             img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             payloads.append(encode_bmp(img))
-            meta.append((w, h, 3, 0, 0, int(img.sum(dtype=np.int64))))
+            meta.append((w, h, 3, 0, 0, int(img.sum(dtype=np.int64)),
+                         _thumb_sum(img), 0))
         elif k == "audio":
             ch = int(rng.integers(1, 3))
             rate = int(rng.choice([8000, 16000, 22050]))
             n = int(rng.integers(256, 2049))
             smp = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
             payloads.append(encode_wav(smp, rate))
+            v = smp.astype(np.int64)
             meta.append((0, 0, ch, rate, n,
-                         int(np.abs(smp.astype(np.int64)).sum())))
+                         int(np.abs(v).sum()), 0, int((v * v).sum())))
         else:  # opaque container — no in-sandbox codec, by design
             payloads.append(rng.integers(0, 256,
                                          size=int(rng.integers(1024, 8192)),
                                          dtype=np.uint8).tobytes())
-            meta.append((0, 0, 0, 0, 0, 0))
+            meta.append((0, 0, 0, 0, 0, 0, 0, 0))
     mimes = np.where(kinds == "image", "image/bmp",
                      np.where(kinds == "audio", "audio/wav", "video/mp4"))
-    cols = np.array(meta, dtype=np.int64).reshape(n_rows, 6)
+    cols = np.array(meta, dtype=np.int64).reshape(n_rows, 8)
     return pa.table({
         "media_id": pa.array(np.arange(n_rows), pa.int64()),
         "kind": pa.array(kinds.astype(object), pa.string()),
@@ -76,6 +90,8 @@ def synthesize_media_table(n_rows: int = 64, seed: int = 21) -> pa.Table:
         "n_channels": pa.array(cols[:, 2]),
         "sample_rate": pa.array(cols[:, 3]),
         "n_samples": pa.array(cols[:, 4]), "val_sum": pa.array(cols[:, 5]),
+        "thumb_sum": pa.array(cols[:, 6]),
+        "energy_sum": pa.array(cols[:, 7]),
     })
 
 
@@ -254,5 +270,65 @@ def decode_media(ds, *, strict: bool = False, concurrency=2,
     pool, Arrow batches end-to-end."""
     return ds.map_batches(
         MediaDecodeStage, fn_constructor_kwargs={"strict": strict},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+class MediaFeatureStage:
+    """Decode + feature-extract (the resize/MFCC-style step): images are
+    nearest-neighbor-resized to ``thumb x thumb`` and summed; audio
+    clips reduce to an exact integer energy sum (sum of v^2 over int64
+    — no float accumulation). Both run on REAL decoded arrays via the
+    built-in codecs, so this stage only exists in strict form; payloads
+    with no available codec raise, like MediaDecodeStage strict mode.
+
+    Output: (media_id, kind, thumb_sum, energy_sum) — integers, so the
+    differential oracle (expectations computed at synth time from the
+    pre-encode arrays) is bitwise.
+    """
+
+    def __init__(self, *, thumb: int = 16):
+        self.thumb = thumb
+
+    def _feature_one(self, mime: str, data: bytes) -> tuple[int, int]:
+        from dqm_ray.functions.codecs import decode_bmp, decode_wav
+
+        if mime == "image/bmp":
+            img = decode_bmp(data)
+            return _thumb_sum(img, self.thumb), 0
+        if mime == "audio/wav":
+            smp, _rate = decode_wav(data)
+            v = smp.astype(np.int64)
+            return 0, int((v * v).sum())
+        raise NotImplementedError(
+            f"no codec available for {mime!r}; built-in codecs cover "
+            "image/bmp and audio/wav")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("payload").combine_chunks()
+        if pa.types.is_binary(col.type):
+            col = col.cast(pa.large_binary())
+        n = len(col)
+        off = np.frombuffer(col.buffers()[1], np.int64)[
+            col.offset:col.offset + n + 1]
+        dbuf = col.buffers()[2]
+        buf = (np.frombuffer(dbuf, np.uint8) if dbuf is not None
+               else np.empty(0, np.uint8))
+        mimes = batch.column("mime").to_pylist()
+        feats = np.empty((n, 2), dtype=np.int64)
+        for i, (m, s, e) in enumerate(zip(mimes, off[:-1], off[1:])):
+            feats[i] = self._feature_one(m, buf[s:e].tobytes())
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "kind": batch.column("kind"),
+            "thumb_sum": pa.array(feats[:, 0]),
+            "energy_sum": pa.array(feats[:, 1]),
+        })
+
+
+def extract_media_features(ds, *, thumb: int = 16, concurrency=2,
+                           batch_size: int = 32):
+    return ds.map_batches(
+        MediaFeatureStage, fn_constructor_kwargs={"thumb": thumb},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)

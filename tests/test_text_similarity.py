@@ -400,3 +400,26 @@ def test_codec_round_trip_fuzz():
 
     bmp_prop()
     wav_prop()
+
+
+def test_media_feature_stage(ray_session):
+    """Resize/energy features recovered from container bytes must equal
+    the synth-time expectations (same kernel, pre-encode arrays)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from dqm_ray.functions.multimodal import (MediaFeatureStage,
+                                              extract_media_features,
+                                              synthesize_media_table)
+
+    t = synthesize_media_table(48, seed=7)
+    av = t.filter(pc.not_equal(t.column("kind"), "video"))
+    out = extract_media_features(rd.from_arrow(av), thumb=16,
+                                 concurrency=2, batch_size=8) \
+        .to_pandas().sort_values("media_id")
+    exp = av.to_pandas().sort_values("media_id")
+    assert out["thumb_sum"].tolist() == exp["thumb_sum"].tolist()
+    assert out["energy_sum"].tolist() == exp["energy_sum"].tolist()
+    vid = t.filter(pc.equal(t.column("kind"), "video"))
+    with pytest.raises(NotImplementedError):
+        MediaFeatureStage()(vid)
