@@ -242,3 +242,43 @@ def test_filewise_metrics_match_pipeline_runner(ray_session, small_cfg,
     assert (t["rows"] == 400).all()
     assert (t["ms"] > 0).all()
     assert abs(a["stage_ms"].sum() - t["ms"].sum()) < 1e-6
+
+
+def test_unicode_rows_match_oracle(ray_session, small_cfg):
+    """The corpus is all-ASCII, so the fused chain's ASCII fast paths
+    carry the F1 test; this pins the utf8 FALLBACK path (one non-ASCII
+    row disables the fast paths for its whole batch) against the naive
+    oracle — labels, sha256 and scrubbed content must all agree."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dqm_ray.oracle import label_table
+    from dqm_ray.pipelines.quality import build_quality_pipeline
+
+    rows = [
+        "def f():\n    return 'café'\n" * 12,          # non-ascii, kept?
+        "χαίρετε κόσμε\n" * 20,                         # fully greek
+        "line one\nline two\nline three\n" * 8,         # plain ascii
+        "☃" * 2000,                                      # symbol wall
+        "email me at büro@exämple.com\n" + "text\n" * 15,
+        "x" * 1500 + "\n" + "ünïcödé\n" * 10,           # long line + uni
+        "",                                              # empty
+    ]
+    n = len(rows)
+    t = pa.table({
+        "repo": pa.array([f"r{i % 2}" for i in range(n)]),
+        "path": pa.array([f"p{i}" for i in range(n)]),
+        "commit": pa.array(["c"] * n),
+        "lang": pa.array(["python", "markdown", "c", "go",
+                          "javascript", "python", "c"]),
+        "content": pa.array(rows, pa.large_string()),
+    })
+    out = build_quality_pipeline(rd.from_arrow(t), small_cfg).to_pandas()
+    oracle = {(r["repo"], r["path"]): r for r in label_table(t, small_cfg)}
+    assert len(out) == n
+    for _, row in out.iterrows():
+        ref = oracle[(row["repo"], row["path"])]
+        assert row["keep"] == ref["keep"], (row["path"], row["reasons"])
+        assert sorted(row["reasons"]) == sorted(ref["reasons"]), row["path"]
+        assert row["sha256"] == ref["sha256"], row["path"]
+        assert row["content"] == ref["scrubbed_content"], row["path"]
