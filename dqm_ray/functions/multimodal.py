@@ -1,12 +1,14 @@
-"""Multimodal column plumbing — image/audio/video as opaque ``binary``
-columns with typed metadata.
+"""Multimodal columns — image/audio/video as ``binary`` payloads with
+typed metadata, decoded by REAL codecs.
 
-The Ray-side plumbing (schema, actor-pool stage signature, batch sizing,
-output layout) is real and tested; the actual codec work is gated behind
-an import-try: with no image/audio libraries in this environment the
-decode step either raises ``NotImplementedError`` (strict mode) or runs
-a clearly-marked deterministic fake that derives metadata from the
-byte stream (so the distributed path is exercised end-to-end).
+Image (uncompressed 24-bit BMP) and audio (PCM16 WAV) payloads decode
+through the built-in pure-numpy codecs (``functions/codecs.py``), so
+strict mode performs a true container decode in-sandbox — dimensions,
+sample counts and value sums are recovered from the bytes and checked
+against pre-encode ground truth. PIL (when installed) extends format
+coverage; payloads no codec handles (video/mp4 here) raise in strict
+mode. strict=False keeps a cheap vectorized byte-histogram feature
+path that never parses containers (the smoke/throughput setting).
 
 Batch sizing note (SURVEY §7.4 "very wide rows"): binary payloads are
 MBs/row — callers should pass small ``batch_size`` (16-64) so
