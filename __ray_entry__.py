@@ -1998,6 +1998,19 @@ def _q_windowed_peak(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_importance_sample(sf_dir: str):
+    """Size-biased corpus sampling: keep each document with probability
+    min(1, n_chars * k / W) — inclusion proportional to length, the
+    standard importance sampler for token-budgeted training mixes.
+    Exact-integer predicate on both engines (full-precision threshold;
+    HUGEINT twin in sampling.weighted_sample_sql), zero shuffle."""
+    from dqm_ray.functions.sampling import weighted_sample
+
+    return weighted_sample(
+        _docs(sf_dir, columns=["doc_id", "n_chars"]),
+        key_col="doc_id", weight_col="n_chars", target_k=120, seed=3)
+
+
 def _q_top_terms(sf_dir: str):
     """Corpus heavy hitters: top-100 lowercase word tokens by frequency
     (ties by term) — per-batch Arrow tokenize + value_counts, vocabulary-
@@ -2194,6 +2207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_revenue": _q_windowed_revenue,
         "windowed_peak": _q_windowed_peak,
         "media_features": _q_media_features,
+        "importance_sample": _q_importance_sample,
         "doc_line_stats": _q_doc_line_stats,
         "pii_scrub": _q_pii_scrub,
         "top_k_per_lang": _q_top_k_per_lang,
@@ -3259,6 +3273,16 @@ def _stratified_sample_oracle_sql() -> str:
             f"WHERE {sample_sql_hash('doc_id', _SAMPLE_SEED)} < {thr}")
 
 
+def _importance_sample_oracle_sql() -> str:
+    """The size-biased keep-predicate in full-precision HUGEINT."""
+    from dqm_ray.functions.sampling import weighted_sample_sql
+
+    pred = weighted_sample_sql(
+        "doc_id", "n_chars", 120,
+        "(SELECT SUM(CAST(n_chars AS HUGEINT)) FROM documents)", seed=3)
+    return f"SELECT doc_id, n_chars FROM documents WHERE {pred}"
+
+
 def _boilerplate_oracle_sql(sf: str = "sf0.01") -> str:
     glob = os.path.join(_CACHE, sf, "code_files_*.parquet")
     return f"""
@@ -3628,6 +3652,7 @@ def oracle_sql() -> dict[str, str]:
                    NULL, NULL
             FROM documents""",
         "stratified_sample": _stratified_sample_oracle_sql(),
+        "importance_sample": _importance_sample_oracle_sql(),
         "docprep": _docprep_oracle_sql(),
         "bucketed_join_revenue": """
             SELECT c_nationkey, COUNT(*) AS n_orders,

@@ -265,3 +265,67 @@ def sample_sql_hash(key_expr: str, seed: int = 0) -> str:
 def sample_sql_predicate(key_expr: str, thr: int, seed: int = 0) -> str:
     """The identical keep-predicate as a DuckDB boolean expression."""
     return f"{sample_sql_hash(key_expr, seed)} < {thr}"
+
+
+def weighted_sample(ds, *, key_col: str, weight_col: str, target_k: int,
+                    seed: int = 0):
+    """Bernoulli importance sampling: keep each row with probability
+    ``min(1, w_i * target_k / W)`` (W = exact total weight), so the
+    expected sample size is ~``target_k`` and inclusion probability is
+    proportional to weight — the standard size-biased corpus sampler.
+
+    EXACT-INTEGER contract (the repo's oracle rule): the keep predicate
+    is ``hash64(key) < floor(w_i * target_k * 2^64 / W)``, evaluated in
+    full precision. W folds from per-batch int partials on the driver
+    (exact Python ints); the per-row threshold uses the decomposition
+    ``floor(w*kW/W) = w*Q + floor(w*R/W)`` with ``kW = target_k << 64``,
+    ``Q = kW // W``, ``R = kW % W`` — both int64-safe under the guarded
+    bounds, falling back to per-row Python ints if a weight is so large
+    the decomposition would overflow. DuckDB reproduces the same
+    predicate directly in HUGEINT (weighted_sample_sql)."""
+    import ray
+
+    parts = ds.map_batches(
+        lambda b: pa.table({"w": pa.array(
+            [int(pa.compute.sum(b.column(weight_col)).as_py() or 0)],
+            pa.int64())}),
+        batch_format="pyarrow", num_cpus=1).take_all()
+    W = sum(int(r["w"]) for r in parts)
+    if W <= 0:
+        raise ValueError("weighted_sample: total weight must be positive")
+    kW = target_k << 64
+    Q, R = kW // W, kW % W
+    off = np.uint64(_offset(seed))
+    max_u64 = (1 << 64) - 1
+
+    def flt(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = keys.astype(np.int64).view(np.uint64) * np.uint64(SAMPLE_A) + off
+        wmax = int(w.max()) if len(w) else 0
+        # 2^62 bounds keep w*Q + (w*R)//W < 2^63: no int64 wrap, and any
+        # p>=1 row (thr >= 2^64) necessarily trips the fallback instead
+        if wmax * Q < 2 ** 62 and wmax * R < 2 ** 62:
+            thr = (w * Q + (w * R) // W).view(np.uint64)
+            mask = h < thr
+        else:  # exact fallback: per-row Python ints (rare, huge weights)
+            mask = np.fromiter(
+                (int(hv) < min((int(wv) * kW) // W, max_u64 + 1)
+                 for hv, wv in zip(h.tolist(), w.tolist())),
+                dtype=bool, count=len(w))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(flt, batch_format="pyarrow", num_cpus=1)
+
+
+def weighted_sample_sql(key_expr: str, weight_expr: str, target_k: int,
+                        total_sql: str, seed: int = 0) -> str:
+    """The identical predicate in DuckDB HUGEINT (full precision —
+    ``w * k * 2^64`` is < 1e28 for corpus-scale weights, inside the
+    128-bit range). ``total_sql`` must yield the exact total weight."""
+    kw = target_k * (1 << 64)
+    thr = (f"((CAST({weight_expr} AS HUGEINT) * {kw}) / ({total_sql}))")
+    return (f"({sample_sql_hash(key_expr, seed)} < "
+            f"CASE WHEN {thr} > {(1 << 64) - 1} "
+            f"THEN {1 << 64} ELSE {thr} END)")

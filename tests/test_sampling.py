@@ -1,0 +1,34 @@
+
+
+def test_weighted_sample_exact_and_proportional(ray_session):
+    """The vectorized decomposition floor(w*kW/W) = w*Q + (w*R)//W must
+    equal per-row big-int math exactly, and inclusion must skew toward
+    heavy rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dqm_ray.functions.sampling import (SAMPLE_A, _M64, _offset,
+                                            weighted_sample)
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    w = rng.integers(1, 4000, n).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "n_chars": pa.array(w)})
+    k, seed = 300, 3
+    got = weighted_sample(rd.from_arrow(t), key_col="doc_id",
+                          weight_col="n_chars", target_k=k,
+                          seed=seed).to_pandas()
+    # exact big-int oracle
+    W = int(w.sum())
+    kW = k << 64
+    keep = []
+    for i in range(n):
+        h = (i * SAMPLE_A + _offset(seed)) % _M64
+        if h < min((int(w[i]) * kW) // W, _M64):
+            keep.append(i)
+    assert sorted(got["doc_id"]) == keep
+    # expected size ~ k; proportionality: kept rows are heavier on avg
+    assert abs(len(keep) - k) < 4 * np.sqrt(k)
+    assert got["n_chars"].mean() > w.mean() * 1.2
