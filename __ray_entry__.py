@@ -854,6 +854,55 @@ def _q_csv_ingest(sf_dir: str):
     return _ingest_parity(sf_dir, "csv")
 
 
+def _q_wire_formats(sf_dir: str):
+    """Source parity for BOTH non-parquet wire formats in one driver
+    row: the JSONL and CSV ingests' per-lang aggregates, tagged by
+    format and unioned — each must equal the parquet-derived truth, so
+    a hash match certifies both readers lose nothing."""
+    def tag(ds, fmt):
+        return ds.map_batches(
+            lambda t, fmt=fmt: t.append_column(
+                "fmt", pa.array([fmt] * len(t), pa.string())),
+            batch_format="pyarrow")
+
+    return tag(_ingest_parity(sf_dir, "json"), "json") \
+        .union(tag(_ingest_parity(sf_dir, "csv"), "csv"))
+
+
+def _q_custom_rule_filter(sf_dir: str):
+    """P6/T3 user-extension surface driven END-TO-END through Ray
+    workers: cfg names the contrib rule "brace_heavy" (registered via
+    module import — registry.get_rule lazy-imports contrib_rules inside
+    the worker), the rules stage applies it after the built-ins are
+    disabled, and the output carries the drop verdict per file. The
+    predicate is all-integer (braces*100 > chars), so the SQL twin is
+    exact."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from dqm_ray.config import QualityConfig
+    from dqm_ray.stages.rules import heuristic_rules_batch
+
+    cfg = dataclasses.replace(QualityConfig(), enabled_rules=(),
+                              custom_rules=("brace_heavy",))
+    ds = rd.read_parquet(_corpus_paths(sf_dir), columns=["path", "content"])
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = heuristic_rules_batch(batch, cfg=cfg)
+        import pyarrow.compute as pc
+
+        dropped = pc.greater(pc.list_value_length(
+            out.column("rule_reasons")), 0)
+        return pa.table({
+            "path": out.column("path"),
+            "n_chars": out.column("n_chars"),
+            "dropped": dropped,
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
 def _q_knn_quantized(sf_dir: str):
     """Quantized max-inner-product top-10 (int8 dots, two-multiply
     rescale — the 4x-bandwidth ANN path) for query vectors vec_id < 4;
@@ -2175,8 +2224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_limit": _q_rate_limit,
         "quantize_embeddings": _q_quantize_embeddings,
         "knn_quantized": _q_knn_quantized,
-        "jsonl_ingest": _q_jsonl_ingest,
-        "csv_ingest": _q_csv_ingest,
+        "wire_formats": _q_wire_formats,
+        "custom_rule_filter": _q_custom_rule_filter,
         "webprep": _q_webprep,
         "funnel_conversions": _q_funnel,
         "dup_report": _q_dup_report,
@@ -2208,6 +2257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_peak": _q_windowed_peak,
         "media_features": _q_media_features,
         "importance_sample": _q_importance_sample,
+        "jsonl_ingest": _q_jsonl_ingest,
+        "csv_ingest": _q_csv_ingest,
         "doc_line_stats": _q_doc_line_stats,
         "pii_scrub": _q_pii_scrub,
         "top_k_per_lang": _q_top_k_per_lang,
@@ -4195,6 +4246,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang""",
+        "wire_formats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars, fmt
+            FROM documents, unnest(['json', 'csv']) t(fmt)
+            GROUP BY lang, fmt""",
+        # pins the sf0.01 corpus cache like the boilerplate oracle (the
+        # driver's correctness sf; selfcheck at other sf is rows-only)
+        "custom_rule_filter": f"""
+            SELECT path, length(content) AS n_chars,
+                   (length(content) - length(replace(content, '{{', '')))
+                       * 100 > length(content) AS dropped
+            FROM read_parquet('{os.path.join(_CACHE, "sf0.01",
+                                             "code_files_*.parquet")}')""",
         # same hash + cumulative integer thresholds as sampling.py
         # dataset_split -> identical assignment.
         "dataset_split": _split_oracle_sql(),

@@ -40,6 +40,11 @@ def register_stage(name: str):
 
 
 def get_rule(name: str) -> Callable:
+    if name not in RULES:
+        # lazy-register the contrib set: names must resolve inside Ray
+        # worker processes, where only modules (not driver-side
+        # decorator side effects) are importable
+        import dqm_ray.stages.contrib_rules  # noqa: F401
     try:
         return RULES[name]
     except KeyError:

@@ -1,0 +1,34 @@
+"""Contrib rules — the user-extension surface exercised end-to-end.
+
+Rules here register at import; ``registry.get_rule`` lazy-imports this
+module on first miss, so a name like ``"brace_heavy"`` resolves inside
+Ray WORKER processes too (a rule registered only in the driver process
+would raise KeyError in the worker — decorators don't travel with a
+pickled config that carries names, only modules do). User code can do
+the same: put ``@register_rule`` functions in an importable module and
+list the names in ``QualityConfig.custom_rules``.
+
+Reference parity: the string-keyed check registry the configs select
+from (include/dqm/Pipeline.hpp:104-129).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dqm_ray.registry import register_rule
+
+
+@register_rule("brace_heavy")
+def brace_heavy(batch: pa.Table, _cfg) -> np.ndarray:
+    """Drop when '{' occurrences exceed 1% of characters — an
+    ALL-INTEGER predicate (braces * 100 > chars) so the SQL twin is
+    exact with no float-threshold ties."""
+    content = batch.column("content")
+    braces = pc.count_substring(content, "{") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    chars = pc.utf8_length(content) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    return braces * 100 > chars

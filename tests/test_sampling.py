@@ -1,4 +1,4 @@
-
+"""Weighted / importance sampling."""
 
 def test_weighted_sample_exact_and_proportional(ray_session):
     """The vectorized decomposition floor(w*kW/W) = w*Q + (w*R)//W must
