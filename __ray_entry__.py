@@ -158,6 +158,36 @@ def _q_flagship(sf_dir: str):
                               "detected_lang", "sha256", "scrubbed"])
 
 
+def _q_resume_semantics(sf_dir: str):
+    """C5 graceful-drain/resume as a driver-gateable contract: run the
+    filewise flagship over the FIRST TWO shards only (a job that died
+    early), then rerun over the full input — the second run's per-shard
+    stats must list exactly the not-yet-finished shards with their full
+    row counts (completed shards skip via the atomic per-shard output
+    markers, nothing recomputes). Oracle = per-file counts of the
+    remaining shards from the corpus parquet itself."""
+    import shutil
+
+    import ray.data as rd
+
+    from dqm_ray.config import QualityConfig
+    from dqm_ray.pipelines.quality import run_quality_filewise
+
+    paths = sorted(_corpus_paths(sf_dir))
+    out = os.path.join("/tmp", f"resume_probe_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = QualityConfig(scorer_concurrency=2)
+    try:
+        run_quality_filewise(paths[:2], out, cfg,
+                             write_metrics=False).to_pandas()
+        st2 = run_quality_filewise(paths, out, cfg,
+                                   write_metrics=False).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return st2[["shard", "rows"]].sort_values("shard") \
+        .reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # documents-table operators (DuckDB-oracled)
 # ---------------------------------------------------------------------------
@@ -2217,7 +2247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_order": _q_shuffle_order,
         "tfidf_keywords": _q_tfidf_keywords,
         "dedup_paragraphs": _q_dedup_paragraphs,
-        "normalize_text": _q_normalize_text,
+        "resume_semantics": _q_resume_semantics,
         "sketch_quantiles": _q_sketch_quantiles,
         "incremental_dedup": _q_incremental_dedup,
         "corpus_prep": _q_corpus_prep,
@@ -2259,6 +2289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "importance_sample": _q_importance_sample,
         "jsonl_ingest": _q_jsonl_ingest,
         "csv_ingest": _q_csv_ingest,
+        "normalize_text": _q_normalize_text,
         "doc_line_stats": _q_doc_line_stats,
         "pii_scrub": _q_pii_scrub,
         "top_k_per_lang": _q_top_k_per_lang,
@@ -4251,6 +4282,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars, fmt
             FROM documents, unnest(['json', 'csv']) t(fmt)
             GROUP BY lang, fmt""",
+        # the resume contract: the second run processes exactly the
+        # shards the first (partial) run did not finish — per-shard row
+        # counts of everything past the first two sorted shard files
+        # (pins the sf0.01 corpus cache like the boilerplate oracle)
+        "resume_semantics": f"""
+            SELECT shard, count(*) AS "rows"
+            FROM (SELECT regexp_replace(
+                           regexp_replace(filename, '^.*/', ''),
+                           '.parquet$', '') AS shard
+                  FROM read_parquet('{os.path.join(_CACHE, "sf0.01",
+                                                   "code_files_*.parquet")}',
+                                    filename = true))
+            WHERE shard NOT IN ('code_files_0000', 'code_files_0001')
+            GROUP BY shard ORDER BY shard""",
         # pins the sf0.01 corpus cache like the boilerplate oracle (the
         # driver's correctness sf; selfcheck at other sf is rows-only)
         "custom_rule_filter": f"""
