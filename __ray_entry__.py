@@ -933,6 +933,33 @@ def _q_custom_rule_filter(sf_dir: str):
     return ds.map_batches(run, batch_format="pyarrow")
 
 
+def _q_knn_lsh(sf_dir: str):
+    """LSH-bucketed ANN (random-hyperplane alternative to IVF, no
+    training pass): ±1-plane projections of the int8-quantized vectors
+    give exact-integer bucket bits; queries multi-probe their bucket
+    plus the least-confident single-bit flips; survivors rank by
+    quantized MIPS. Every step is integer-exact, so probe set,
+    candidate set and ranks are bitwise SQL-reproducible. Recall vs
+    the cosine baseline ~5-7/10 at ~8% of the corpus scanned (query 1's
+    neighborhood straddles boundaries — documented LSH variance)."""
+    import ray.data as rd
+
+    from dqm_ray.functions.similarity import knn_lsh
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    mask = np.asarray(head["vec_id"]) < 4
+    q_ids = np.asarray(head["vec_id"])[mask]
+    q_mat = np.stack(head["embedding"].to_numpy(zero_copy_only=False)[mask])
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    df = knn_lsh(ds, q_ids, q_mat, k=10, n_planes=6, n_probe_bits=4,
+                 cache_dir=_CACHE)
+    df["score"] = np.round(df["score"].to_numpy(), 6)
+    return df[["query_id", "vec_id", "rank", "score"]]
+
+
 def _q_knn_quantized(sf_dir: str):
     """Quantized max-inner-product top-10 (int8 dots, two-multiply
     rescale — the 4x-bandwidth ANN path) for query vectors vec_id < 4;
@@ -2289,6 +2316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "importance_sample": _q_importance_sample,
         "jsonl_ingest": _q_jsonl_ingest,
         "csv_ingest": _q_csv_ingest,
+        "knn_lsh": _q_knn_lsh,
         "normalize_text": _q_normalize_text,
         "doc_line_stats": _q_doc_line_stats,
         "pii_scrub": _q_pii_scrub,
@@ -2922,6 +2950,82 @@ def _media_decode_oracle_sql() -> str:
                octet_length(payload) AS n_bytes,
                substr(sha256(hex(payload)), 1, 16) AS checksum
         FROM read_parquet('{_MEDIA_SRC_PARQUET}')"""
+
+
+def _knn_lsh_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
+                        n_planes: int = 6, n_probe_bits: int = 4) -> str:
+    """knn_lsh bitwise in SQL: int8 quantization (the
+    quantize_embeddings CTE), exact-integer plane projections from the
+    pinned ±1 plane parquet, bucket bits, the global multi-probe set
+    (own bucket + lowest-|proj| flips, ties by plane), candidate filter,
+    and the knn_quantized ranking key."""
+    import pyarrow.parquet as pq
+
+    from dqm_ray.functions.similarity import build_lsh_planes
+
+    dim = len(pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["embedding"]).column("embedding")[0])
+    build_lsh_planes(dim, n_planes, 5, cache_dir=_CACHE)  # ensure pinned
+    planes = os.path.join(_CACHE,
+                          f"lsh_planes_{dim}x{n_planes}_s5.parquet")
+    return f"""
+        WITH dd AS (SELECT vec_id,
+                           list_transform(embedding,
+                               x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+        s AS (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0
+                         AS scale
+              FROM dd),
+        e AS (SELECT vec_id, scale, u.dim AS dim,
+                     CAST(CASE WHEN scale = 0 THEN 0
+                               WHEN u.x < 0
+                               THEN -floor(abs(u.x) / scale + 0.5)
+                               ELSE floor(abs(u.x) / scale + 0.5)
+                          END AS BIGINT) AS q
+              FROM (SELECT vec_id, scale,
+                           unnest(list_transform(range(1, len(v) + 1),
+                             i -> struct_pack(dim := i - 1,
+                                              x := v[i]))) AS u
+                    FROM s) t),
+        pl AS (SELECT plane, dim, sgn
+               FROM read_parquet('{planes}')),
+        proj AS (SELECT e.vec_id, pl.plane,
+                        CAST(SUM(e.q * pl.sgn) AS BIGINT) AS pr
+                 FROM e JOIN pl USING (dim)
+                 GROUP BY e.vec_id, pl.plane),
+        buck AS (SELECT vec_id,
+                        CAST(SUM(CASE WHEN pr >= 0
+                                 THEN 1 << plane ELSE 0 END) AS BIGINT)
+                            AS bucket
+                 FROM proj GROUP BY vec_id),
+        flips AS (SELECT vec_id, plane
+                  FROM (SELECT vec_id, plane,
+                               row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY abs(pr), plane) AS rn
+                        FROM proj WHERE vec_id < 4)
+                  WHERE rn <= {n_probe_bits}),
+        pset AS (SELECT DISTINCT b FROM (
+                   SELECT bucket AS b FROM buck WHERE vec_id < 4
+                   UNION ALL
+                   SELECT xor(bk.bucket, CAST(1 << f.plane AS BIGINT))
+                   FROM buck bk JOIN flips f USING (vec_id))),
+        cand AS (SELECT vec_id FROM buck
+                 WHERE bucket IN (SELECT b FROM pset)),
+        dots AS (SELECT e.vec_id AS vec_id, qs.vec_id AS qid,
+                        CAST(SUM(e.q * qs.q) AS BIGINT) AS di,
+                        any_value(e.scale) AS se,
+                        any_value(qs.scale) AS sq
+                 FROM e JOIN (SELECT * FROM e WHERE vec_id < 4) qs
+                   USING (dim)
+                 WHERE e.vec_id IN (SELECT vec_id FROM cand)
+                 GROUP BY e.vec_id, qs.vec_id)
+        SELECT qid AS query_id, vec_id, CAST(rn AS BIGINT) AS rank,
+               round(CAST(di AS DOUBLE) * se * sq, 6) AS score
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY CAST(di AS DOUBLE) * se * sq DESC,
+                            vec_id) AS rn
+              FROM dots) WHERE rn <= 10"""
 
 
 def _media_features_oracle_sql() -> str:
@@ -3679,6 +3783,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": _media_decode_oracle_sql(),
         "media_probe": _media_probe_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
+        "knn_lsh": _knn_lsh_oracle_sql(),
         "fourier_events": _fourier_events_oracle_sql(),
         "fourier_total": _fourier_total_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),

@@ -10,6 +10,8 @@ nearest centroid once, search only the probed centroids' partitions.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -705,3 +707,114 @@ def _probe_dim(ds, vec_col: str) -> int:
         return size
     row = ds.limit(1).take_all()
     return len(row[0][vec_col])
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — the random-hyperplane alternative to IVF
+# ---------------------------------------------------------------------------
+
+def build_lsh_planes(dim: int, n_planes: int = 16, seed: int = 5,
+                     cache_dir: str | None = None) -> np.ndarray:
+    """Deterministic ±1 hyperplane matrix (n_planes x dim), persisted to
+    a parquet cache so the SQL oracle reads the identical planes. ±1
+    entries (sign of a splitmix64 bit) keep every projection an EXACT
+    integer of the int8-quantized vector — no float sign boundaries, so
+    bucket bits are bitwise-reproducible across engines."""
+    import pyarrow.parquet as pq
+
+    from dqm_ray.functions.sampling import splitmix64
+
+    idx = np.arange(n_planes * dim, dtype=np.int64) + seed * 1_000_003
+    bits = (splitmix64(idx) >> np.uint64(63)).astype(np.int64)
+    sgn = (bits * 2 - 1).reshape(n_planes, dim)
+    if cache_dir:
+        path = os.path.join(cache_dir,
+                            f"lsh_planes_{dim}x{n_planes}_s{seed}.parquet")
+        if not os.path.exists(path):
+            os.makedirs(cache_dir, exist_ok=True)
+            p, d = np.divmod(np.arange(n_planes * dim, dtype=np.int64), dim)
+            t = pa.table({"plane": pa.array(p), "dim": pa.array(d),
+                          "sgn": pa.array(sgn.ravel())})
+            tmp = path + f".tmp{os.getpid()}"
+            pq.write_table(t, tmp)
+            os.replace(tmp, path)
+    return sgn
+
+
+def _lsh_buckets(q8: np.ndarray, planes: np.ndarray) -> tuple[np.ndarray,
+                                                              np.ndarray]:
+    """(bucket uint per row, projections (n, n_planes) int64). Bit p of
+    the bucket is set iff the exact integer projection onto plane p is
+    >= 0."""
+    proj = q8 @ planes.T                       # exact: int64 x ±1
+    bits = (proj >= 0).astype(np.int64)
+    bucket = (bits << np.arange(planes.shape[0], dtype=np.int64)).sum(axis=1)
+    return bucket, proj
+
+
+def knn_lsh(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 10,
+            *, n_planes: int = 16, n_probe_bits: int = 4,
+            id_col: str = "vec_id", emb_col: str = "embedding",
+            seed: int = 5, cache_dir: str = "/tmp/dqm_ray_cache",
+            concurrency=2, batch_size: int = 4096) -> pd.DataFrame:
+    """LSH-bucketed ANN: sign-random-projection buckets prune the
+    candidate set, quantized MIPS ranks the survivors — the
+    hash-bucket alternative scale path to IVF (no training pass, pure
+    streaming filter; at cluster scale the bucket id doubles as a hive
+    partition key so probes read only matching partitions).
+
+    Multi-probe: each query probes its own bucket plus the
+    ``n_probe_bits`` single-bit flips on the planes with the smallest
+    |projection| (the least-confident signs; ties by plane index).
+    Every step is exact-integer on the int8-quantized vectors, so the
+    probe set, candidate set and ranking key are all bitwise
+    SQL-reproducible (same two-multiply rescale as knn_quantized)."""
+    planes = build_lsh_planes(np.asarray(query_mat).shape[1], n_planes,
+                              seed, cache_dir=cache_dir)
+    q_ids = np.asarray(query_ids, dtype=np.int64)
+    q8, q_scale = _quantize_mat(np.asarray(query_mat, dtype=np.float64))
+    qb, qproj = _lsh_buckets(q8, planes)
+    # probe set per query: own bucket + lowest-|proj| single-bit flips
+    flip_order = np.lexsort((np.arange(n_planes)[None, :]
+                             .repeat(len(q8), 0),
+                             np.abs(qproj)), axis=1)[:, :n_probe_bits]
+    probes = {int(b) for b in qb}
+    for i in range(len(q8)):
+        for p in flip_order[i]:
+            probes.add(int(qb[i]) ^ (1 << int(p)))
+    probe_ref = ray.put((planes, sorted(probes),
+                         {"ids": q_ids, "q8": q8, "scale": q_scale}))
+
+    def score(batch: pa.Table) -> pa.Table:
+        pl, bset, q = ray.get(probe_ref)
+        mat = _emb_matrix(batch.column(emb_col), len(batch))
+        v8, v_scale = _quantize_mat(mat.astype(np.float64))
+        vb, _ = _lsh_buckets(v8, pl)
+        keep = np.isin(vb, np.asarray(bset, dtype=np.int64))
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "di": pa.array([], pa.int64()),
+                             "se": pa.array([], pa.float64()),
+                             "sq": pa.array([], pa.float64())})
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        dots = v8[keep] @ q["q8"].T                   # exact int64
+        nq = len(q["ids"])
+        return pa.table({
+            "query_id": pa.array(np.tile(q["ids"], len(ids)), pa.int64()),
+            id_col: pa.array(np.repeat(ids, nq), pa.int64()),
+            "di": pa.array(dots.ravel(), pa.int64()),
+            "se": pa.array(np.repeat(v_scale[keep], nq), pa.float64()),
+            "sq": pa.array(np.tile(q["scale"], len(ids)), pa.float64()),
+        })
+
+    df = ds.map_batches(score, batch_format="pyarrow",
+                        batch_size=batch_size, num_cpus=1).to_pandas()
+    df["score"] = df["di"].to_numpy().astype(np.float64) \
+        * df["se"].to_numpy() * df["sq"].to_numpy()
+    df = df.sort_values(["query_id", "score", id_col],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df[["query_id", id_col, "rank", "score"]].reset_index(drop=True)

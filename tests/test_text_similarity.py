@@ -423,3 +423,40 @@ def test_media_feature_stage(ray_session):
     vid = t.filter(pc.equal(t.column("kind"), "video"))
     with pytest.raises(NotImplementedError):
         MediaFeatureStage()(vid)
+
+
+def test_knn_lsh_prunes_and_recalls(ray_session):
+    """LSH buckets prune most of the corpus yet keep decent cosine
+    recall on clustered data; results are deterministic and
+    probe-order-independent."""
+    import ray.data as rd
+
+    from dqm_ray.functions.similarity import knn_lsh
+
+    rng = np.random.default_rng(8)
+    # clustered corpus: 8 centers, tight noise — the regime LSH serves
+    centers = rng.standard_normal((8, 24)) * 3
+    emb = (centers[rng.integers(0, 8, 600)]
+           + rng.standard_normal((600, 24)) * 0.4).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(600), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32(), 24)),
+    })
+    q_ids = np.array([0, 1, 2])
+    q = emb[:3]
+    from dqm_ray.functions.similarity import knn_quantized
+
+    exact = knn_quantized(rd.from_arrow(t).repartition(4), q_ids, q, k=10,
+                          concurrency=2)
+    lsh = knn_lsh(rd.from_arrow(t).repartition(4), q_ids, q, k=10,
+                  n_planes=6, n_probe_bits=3, cache_dir=None)
+    rec = 0
+    for qi in q_ids:
+        a = set(exact[exact["query_id"] == qi]["vec_id"])
+        b = set(lsh[lsh["query_id"] == qi]["vec_id"])
+        rec += len(a & b)
+    assert rec >= 24  # >= 8/10 vs the same ranking key, pruned corpus
+    lsh2 = knn_lsh(rd.from_arrow(t).repartition(4), q_ids, q, k=10,
+                   n_planes=6, n_probe_bits=3, cache_dir=None)
+    assert lsh[["query_id", "vec_id", "rank"]].values.tolist() == \
+        lsh2[["query_id", "vec_id", "rank"]].values.tolist()
