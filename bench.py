@@ -43,7 +43,7 @@ BENCH_QUERIES = ["doc_line_stats", "pii_scrub", "lineage_sha256",
                  "mixture_epochs", "shuffle_order", "tfidf_keywords",
                  "dedup_paragraphs", "normalize_text", "sketch_quantiles",
                  "incremental_dedup", "corpus_prep", "rate_limit",
-                 "knn_quantized", "budget_sample", "train_bigram_lm",
+                 "knn_quantized", "knn_lsh", "budget_sample", "train_bigram_lm",
                  "scrub_spans", "sample_exact_k", "ccnet_buckets", "dedup_spans",
                  "semantic_decontam", "trending", "zscore_chars",
                  "train_trigram_lm", "corpus_diff", "project_embeddings", "csv_ingest", "webprep", "funnel_conversions", "dup_report",

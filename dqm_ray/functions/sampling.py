@@ -302,6 +302,11 @@ def weighted_sample(ds, *, key_col: str, weight_col: str, target_k: int,
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        if len(w) and int(w.min()) < 0:
+            # a negative weight would floor-divide to a negative
+            # threshold whose uint64 view keeps EVERYTHING — reject
+            raise ValueError(
+                "weighted_sample: weights must be non-negative")
         h = keys.astype(np.int64).view(np.uint64) * np.uint64(SAMPLE_A) + off
         wmax = int(w.max()) if len(w) else 0
         # 2^62 bounds keep w*Q + (w*R)//W < 2^63: no int64 wrap, and any

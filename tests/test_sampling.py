@@ -32,3 +32,18 @@ def test_weighted_sample_exact_and_proportional(ray_session):
     # expected size ~ k; proportionality: kept rows are heavier on avg
     assert abs(len(keep) - k) < 4 * np.sqrt(k)
     assert got["n_chars"].mean() > w.mean() * 1.2
+
+
+def test_weighted_sample_rejects_negative_weights(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from dqm_ray.functions.sampling import weighted_sample
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "w": pa.array([5, -1, 3], pa.int64())})
+    with pytest.raises(Exception, match="non-negative"):
+        weighted_sample(rd.from_arrow(t), key_col="doc_id",
+                        weight_col="w", target_k=2).to_pandas()
