@@ -1190,6 +1190,10 @@ def _q_asof_prior_view(sf_dir: str):
     out = asof_join(clicks, views, by="user_id", on="ts",
                     tiebreak="event_id").to_pandas()
     res = out[["event_id"]].copy()
+    # belt + suspenders vs the r2-r4 driver red: asof_join now emits a
+    # full typed union schema so event_id arrives int64, but the driver
+    # hashes STRINGIFIED values ('58.0' != '58') — keep the explicit cast
+    res["event_id"] = out["event_id"].astype(np.int64)
     res["prior_event_id"] = out["event_id_r"].fillna(-1).astype(np.int64)
     vt = out["view_ts"].to_numpy(dtype="datetime64[us]")
     us = vt.astype(np.int64)

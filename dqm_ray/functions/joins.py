@@ -148,12 +148,26 @@ def asof_join(left, right, *, by: str, on: str, suffix: str = "_r",
     from dqm_ray.partitioning import num_parts as _np_default
 
     P = num_parts or _np_default()
-    lcols = left.schema().names
-    rcols = right.schema().names
+    lsch, rsch = left.schema(), right.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    lcols = list(lsch.names)
+    rcols = list(rsch.names)
     r_renamed = {c: (c + suffix if c in lcols and c not in (by, on) else c)
                  for c in rcols}
     r_value_cols = [r_renamed[c] for c in rcols if c not in (by, on)]
+    # renamed right column -> its ORIGINAL arrow type (by/on take the
+    # left side's types at tag time — merge_asof requires that anyway)
+    rtypes = {r_renamed[c]: t for c, t in zip(rsch.names, rsch.types)}
     tb = r_renamed.get(tiebreak, tiebreak) if tiebreak else None
+    # both sides emit the FULL union schema with typed nulls — Ray's
+    # union does not align schemas, and a pandas group assembled from
+    # mixed-schema blocks NaN-fills the missing columns, silently
+    # promoting int64 ids to float64 (the partitioned_hash_join /
+    # interval_join lesson; this exact drift kept asof_prior_view
+    # driver-red for three rounds: `58.0` stringifies != BIGINT `58`)
+    out_fields = [(c, ltypes[c]) for c in lcols] + \
+        [(c, rtypes[c]) for c in r_value_cols]
+    out_schema = pa.schema(out_fields)
 
     def part_of(batch: pa.Table) -> pa.array:
         k = batch.column(by).to_numpy(zero_copy_only=False)
@@ -162,24 +176,59 @@ def asof_join(left, right, *, by: str, on: str, suffix: str = "_r",
         return pa.array((pd.util.hash_array(k) % P).astype(np.int32))
 
     def tag_left(batch: pa.Table) -> pa.Table:
-        batch = batch.append_column("__part", part_of(batch))
-        return batch.append_column(
-            "__side", pa.array(np.zeros(len(batch), np.int8)))
+        n = len(batch)
+        cols = {c: batch.column(c) for c in lcols}
+        for c in r_value_cols:
+            cols[c] = pa.nulls(n, rtypes[c])
+        cols["__part"] = part_of(batch)
+        cols["__side"] = pa.array(np.zeros(n, np.int8))
+        return pa.table(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
-        batch = batch.rename_columns([r_renamed[c] for c in batch.column_names])
-        batch = batch.append_column("__part", part_of(batch))
-        return batch.append_column(
-            "__side", pa.array(np.ones(len(batch), np.int8)))
+        batch = batch.rename_columns(
+            [r_renamed[c] for c in batch.column_names])
+        n = len(batch)
+        cols = {}
+        for c in lcols:
+            cols[c] = (batch.column(c).cast(ltypes[c])
+                       if c in (by, on) else pa.nulls(n, ltypes[c]))
+        for c in r_value_cols:
+            cols[c] = batch.column(c)
+        cols["__part"] = part_of(batch)
+        cols["__side"] = pa.array(np.ones(n, np.int8))
+        return pa.table(cols)
 
     both = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))
 
-    def join_part(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == 0][lcols]
-        r = g[g["__side"] == 1][[by, on, *r_value_cols]]
-        if not len(l):
-            return pd.DataFrame()
+    def typed_table(df: pd.DataFrame) -> pa.Table:
+        # pandas -> arrow with the declared output types: integer
+        # columns that picked up NaN (no asof match) become int64 WITH
+        # NULLS, never float64 — keeps every part's schema identical
+        cols = {}
+        for c, t in out_fields:
+            s = df[c]
+            if pa.types.is_integer(t) and s.dtype.kind == "f":
+                m = s.isna().to_numpy()
+                cols[c] = pa.array(
+                    np.where(m, 0, s.to_numpy()).astype(np.int64),
+                    type=t, mask=m)
+            else:
+                cols[c] = pa.array(s, type=t, from_pandas=True)
+        return pa.table(cols)
+
+    def join_part(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = g.column("__side")
+        # split sides in ARROW first: each side's own columns are
+        # null-free after the filter, so to_pandas keeps exact dtypes
+        lt = g.filter(pc.equal(side, 0)).select(lcols)
+        rt = g.filter(pc.equal(side, 1)).select([by, on, *r_value_cols])
+        if lt.num_rows == 0:
+            return out_schema.empty_table()
+        l = lt.to_pandas()
+        r = rt.to_pandas()
         if direction == "backward" and len(r):
             # composite-searchsorted asof (the windowed_count packing):
             # factorize keys over BOTH sides, pack (code, on) into one
@@ -210,13 +259,15 @@ def asof_join(left, right, *, by: str, on: str, suffix: str = "_r",
                 pos = np.searchsorted(
                     r_comp, lc * span + (lo_np - t0), side="right") - 1
                 valid = (pos >= 0) & (rc[rsort][np.maximum(pos, 0)] == lc)
-                taken = r[r_value_cols].iloc[rsort[np.maximum(pos, 0)]] \
-                    .reset_index(drop=True)
-                out = l.reset_index(drop=True)
-                vs = pd.Series(valid)
+                # arrow take with a masked index: unmatched left rows get
+                # TYPED nulls in the right value columns (int64 stays
+                # int64-with-nulls; float64 never appears)
+                idx = pa.array(rsort[np.maximum(pos, 0)].astype(np.int64),
+                               pa.int64(), mask=~valid)
+                cols = {c: lt.column(c) for c in lcols}
                 for c in r_value_cols:
-                    out[c] = taken[c].where(vs)
-                return out
+                    cols[c] = rt.column(c).take(idx)
+                return pa.table(cols)
         # fallback (forward/nearest directions, or packing overflow):
         # merge_asof(by=...) needs both frames sorted by `on` globally;
         # within equal (by, on), the LAST right row wins, so a stable
@@ -225,10 +276,11 @@ def asof_join(left, right, *, by: str, on: str, suffix: str = "_r",
         r = r.sort_values([on, tb] if tb else on, kind="mergesort")
         r[on] = r[on].astype(l[on].dtype)
         r[by] = r[by].astype(l[by].dtype)
-        return pd.merge_asof(l, r, on=on, by=by, direction=direction)
+        return typed_table(
+            pd.merge_asof(l, r, on=on, by=by, direction=direction))
 
     return both.groupby("__part").map_groups(join_part,
-                                             batch_format="pandas")
+                                             batch_format="pyarrow")
 
 
 def interval_join(intervals, points, *, by: str, start_col: str,

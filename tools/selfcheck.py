@@ -51,28 +51,33 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     a, b = canon(a), canon(b)
     for col in a.columns:
         av, bv = a[col].to_numpy(), b[col].to_numpy()
-        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
-            av = np.asarray(av, dtype=np.float64)
-            bv = np.asarray(bv, dtype=np.float64)
-            neq = ~((av == bv) | (np.isnan(av) & np.isnan(bv)))
-            if neq.any():
-                i = int(np.argmax(neq))
-                problems.append(
-                    f"col {col}: {int(neq.sum())} diffs, first@{i}: "
-                    f"{av[i]!r} vs {bv[i]!r} (delta {av[i]-bv[i]:.3e})")
-        else:
-            # NOT astype(str): numpy would build a fixed-width U array
-            # (max_len x 4 B x n_rows — multi-GB for long-document cols)
-            avs = np.fromiter((str(x) for x in av), dtype=object,
-                              count=len(av))
-            bvs = np.fromiter((str(x) for x in bv), dtype=object,
-                              count=len(bv))
-            neq = avs != bvs
-            if neq.any():
-                i = int(np.argmax(neq))
-                problems.append(
-                    f"col {col}: {int(neq.sum())} diffs, first@{i}: "
-                    f"{av[i]!r} vs {bv[i]!r}")
+        ka, kb = av.dtype.kind, bv.dtype.kind
+        # DRIVER-FAITHFUL: the graft driver hashes STRINGIFIED values, so
+        # an engine column that drifted int64->float64 renders '58.0' vs
+        # the oracle's '58' — a hash red. The old float64-coercion here
+        # masked exactly that class for three rounds (asof_prior_view).
+        if (ka in "iu" and kb == "f") or (ka == "f" and kb in "iu"):
+            problems.append(
+                f"col {col}: dtype-kind mismatch {av.dtype} vs {bv.dtype}"
+                " — driver stringification would hash-differ"
+                " ('1.0' != '1')")
+            continue
+        # NOT astype(str): numpy would build a fixed-width U array
+        # (max_len x 4 B x n_rows — multi-GB for long-document cols)
+        avs = np.fromiter((str(x) for x in av), dtype=object,
+                          count=len(av))
+        bvs = np.fromiter((str(x) for x in bv), dtype=object,
+                          count=len(bv))
+        neq = avs != bvs
+        if neq.any():
+            i = int(np.argmax(neq))
+            extra = ""
+            if ka == "f" and kb == "f":
+                delta = np.float64(av[i]) - np.float64(bv[i])
+                extra = f" (delta {delta:.3e})"
+            problems.append(
+                f"col {col}: {int(neq.sum())} diffs, first@{i}: "
+                f"{av[i]!r} vs {bv[i]!r}{extra}")
     return problems
 
 
