@@ -3737,23 +3737,29 @@ def _sketch_oracle_sql() -> str:
                       value_col="n_chars")
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    # The driver calls this with NO argument and gates at sf0.01 — the
+    # default keeps its behavior bit-identical. tools/selfcheck.py passes
+    # its sf_dir so the corpus-cache / IVF-index oracles derive from the
+    # SAME scale the Ray queries run at (VERDICT r4 item 6: no more
+    # "non-green at sf0.001 BY DESIGN" rows).
+    sf = os.path.basename(os.path.normpath(sf_dir))
     # The flagship oracle reads the deterministic /tmp corpus cache and
     # the bigram-model parquet; materialize both here so the SQL is
     # runnable regardless of whether the Ray query ran first.
     try:
-        _corpus_paths("/root/testdata/sf0.01")
+        _corpus_paths(sf_dir)
         _ensure_bigram_model_parquet()
         _ensure_minhash_perms_parquet()
         _ensure_emb_planes_parquet()
         _ensure_media_src_parquet()
         _ensure_poly_powers_parquet()
-        _ensure_ivf_index("/root/testdata/sf0.01")
+        _ensure_ivf_index(sf_dir)
     except Exception:  # noqa: BLE001 — oracle strings must still return
         pass
     return {
-        "flagship_quality": _flagship_oracle_sql("sf0.01"),
-        "boilerplate_lines": _boilerplate_oracle_sql("sf0.01"),
+        "flagship_quality": _flagship_oracle_sql(sf),
+        "boilerplate_lines": _boilerplate_oracle_sql(sf),
         "kmeans_embeddings": _kmeans_oracle_sql(),
         "doc_chunks": """
             SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
@@ -3787,12 +3793,12 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": _media_decode_oracle_sql(),
         "media_probe": _media_probe_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
-        "knn_lsh": _knn_lsh_oracle_sql(),
+        "knn_lsh": _knn_lsh_oracle_sql(sf_dir),
         "fourier_events": _fourier_events_oracle_sql(),
         "fourier_total": _fourier_total_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
-        "knn_ivf": _knn_ivf_oracle_sql("sf0.01"),
-        "knn_ivf_quantized": _knn_ivf_quantized_oracle_sql("sf0.01"),
+        "knn_ivf": _knn_ivf_oracle_sql(sf),
+        "knn_ivf_quantized": _knn_ivf_quantized_oracle_sql(sf),
         "decontaminate": _decontam_oracle_sql(),
         "scrub_spans": _span_scrub_oracle_sql(),
         # smallest-signed-hash-per-stratum; bijective hash -> tie-free.
@@ -4394,24 +4400,23 @@ def oracle_sql() -> dict[str, str]:
         # the resume contract: the second run processes exactly the
         # shards the first (partial) run did not finish — per-shard row
         # counts of everything past the first two sorted shard files
-        # (pins the sf0.01 corpus cache like the boilerplate oracle)
+        # (reads the sf-derived corpus cache, same scale as the query)
         "resume_semantics": f"""
             SELECT shard, count(*) AS "rows"
             FROM (SELECT regexp_replace(
                            regexp_replace(filename, '^.*/', ''),
                            '.parquet$', '') AS shard
-                  FROM read_parquet('{os.path.join(_CACHE, "sf0.01",
+                  FROM read_parquet('{os.path.join(_CACHE, sf,
                                                    "code_files_*.parquet")}',
                                     filename = true))
             WHERE shard NOT IN ('code_files_0000', 'code_files_0001')
             GROUP BY shard ORDER BY shard""",
-        # pins the sf0.01 corpus cache like the boilerplate oracle (the
-        # driver's correctness sf; selfcheck at other sf is rows-only)
+        # reads the sf-derived corpus cache, same scale as the query
         "custom_rule_filter": f"""
             SELECT path, length(content) AS n_chars,
                    (length(content) - length(replace(content, '{{', '')))
                        * 100 > length(content) AS dropped
-            FROM read_parquet('{os.path.join(_CACHE, "sf0.01",
+            FROM read_parquet('{os.path.join(_CACHE, sf,
                                              "code_files_*.parquet")}')""",
         # same hash + cumulative integer thresholds as sampling.py
         # dataset_split -> identical assignment.

@@ -104,7 +104,10 @@ def main():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    qs, oracles = entry.queries(), entry.oracle_sql()
+    # pass sf_dir so the corpus-cache / IVF-index oracles derive from the
+    # same scale the queries run at (the driver calls oracle_sql() bare —
+    # its sf0.01 default keeps that path bit-identical)
+    qs, oracles = entry.queries(), entry.oracle_sql(sf_dir)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
