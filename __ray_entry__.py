@@ -2960,9 +2960,9 @@ def _knn_lsh_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
                         n_planes: int = 6, n_probe_bits: int = 4) -> str:
     """knn_lsh bitwise in SQL: int8 quantization (the
     quantize_embeddings CTE), exact-integer plane projections from the
-    pinned ±1 plane parquet, bucket bits, the global multi-probe set
-    (own bucket + lowest-|proj| flips, ties by plane), candidate filter,
-    and the knn_quantized ranking key."""
+    pinned ±1 plane parquet, bucket bits, each query's OWN multi-probe
+    set (own bucket + lowest-|proj| flips, ties by plane), the per-query
+    candidate filter, and the knn_quantized ranking key."""
     import pyarrow.parquet as pq
 
     from dqm_ray.functions.similarity import build_lsh_planes
@@ -3009,21 +3009,23 @@ def _knn_lsh_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
                                    ORDER BY abs(pr), plane) AS rn
                         FROM proj WHERE vec_id < 4)
                   WHERE rn <= {n_probe_bits}),
-        pset AS (SELECT DISTINCT b FROM (
-                   SELECT bucket AS b FROM buck WHERE vec_id < 4
+        pset AS (SELECT DISTINCT qid, b FROM (
+                   SELECT vec_id AS qid, bucket AS b
+                   FROM buck WHERE vec_id < 4
                    UNION ALL
-                   SELECT xor(bk.bucket, CAST(1 << f.plane AS BIGINT))
+                   SELECT bk.vec_id,
+                          xor(bk.bucket, CAST(1 << f.plane AS BIGINT))
                    FROM buck bk JOIN flips f USING (vec_id))),
-        cand AS (SELECT vec_id FROM buck
-                 WHERE bucket IN (SELECT b FROM pset)),
-        dots AS (SELECT e.vec_id AS vec_id, qs.vec_id AS qid,
+        cand AS (SELECT p.qid, bk.vec_id
+                 FROM buck bk JOIN pset p ON bk.bucket = p.b),
+        dots AS (SELECT c.vec_id AS vec_id, c.qid AS qid,
                         CAST(SUM(e.q * qs.q) AS BIGINT) AS di,
                         any_value(e.scale) AS se,
                         any_value(qs.scale) AS sq
-                 FROM e JOIN (SELECT * FROM e WHERE vec_id < 4) qs
-                   USING (dim)
-                 WHERE e.vec_id IN (SELECT vec_id FROM cand)
-                 GROUP BY e.vec_id, qs.vec_id)
+                 FROM cand c
+                 JOIN e ON e.vec_id = c.vec_id
+                 JOIN e qs ON qs.vec_id = c.qid AND qs.dim = e.dim
+                 GROUP BY c.vec_id, c.qid)
         SELECT qid AS query_id, vec_id, CAST(rn AS BIGINT) AS rank,
                round(CAST(di AS DOUBLE) * se * sq, 6) AS score
         FROM (SELECT *, row_number() OVER (PARTITION BY qid

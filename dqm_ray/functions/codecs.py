@@ -53,6 +53,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
     size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
     if size < _DIB_HEADER or comp != 0 or bpp != 24 or planes != 1:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    if w <= 0 or h == 0:
+        raise ValueError(f"malformed BMP dimensions ({w}x{h})")
     flip = h > 0  # positive height = bottom-up storage
     h = abs(h)
     stride = (w * 3 + 3) & ~3
@@ -98,6 +100,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             (bits,) = struct.unpack_from("<H", data, body + 14)
             if tag != 1 or bits != 16:
                 raise ValueError(f"unsupported WAV (tag={tag}, bits={bits})")
+            if ch < 1 or rate <= 0:
+                raise ValueError(
+                    f"malformed WAV fmt (channels={ch}, rate={rate})")
         elif cid == b"data":
             pcm = data[body: body + size]
         pos = body + size + (size & 1)  # chunks are word-aligned

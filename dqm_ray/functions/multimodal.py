@@ -97,14 +97,6 @@ def synthesize_media_table(n_rows: int = 64, seed: int = 21) -> pa.Table:
     })
 
 
-def _try_real_decoder():
-    try:  # full-codec library if present (PIL covers png/jpeg/...)
-        import PIL.Image  # noqa: F401
-        return True
-    except ImportError:
-        return False
-
-
 class MediaDecodeStage:
     """Actor-pool decode/feature stage over binary payloads.
 
@@ -115,16 +107,17 @@ class MediaDecodeStage:
     - strict=True (decode mode): media_id, kind, n_bytes, checksum,
       width, height, n_channels, sample_rate, n_samples, val_sum —
       a TRUE binary decode of each payload via the built-in
-      ``functions.codecs`` (uncompressed BMP / PCM16 WAV; PIL extends
-      coverage when installed). A payload no available codec handles
-      (e.g. video/mp4 in this sandbox) raises NotImplementedError —
-      the production setting fails loudly rather than faking.
+      ``functions.codecs`` (uncompressed BMP / PCM16 WAV — the two
+      container formats this engine ships codecs for). A payload no
+      built-in codec handles (e.g. image/png or video/mp4) raises
+      NotImplementedError — the production setting fails loudly rather
+      than faking; extend ``_decode_one`` with a real library branch to
+      widen coverage.
     """
 
     FEAT_DIM = 16
 
     def __init__(self, *, strict: bool = False):
-        self.have_real = _try_real_decoder()
         self.strict = strict
 
     def _decode_one(self, kind: str, mime: str, data: bytes):

@@ -226,10 +226,16 @@ def grouped_split(ds, *, group_col: str, id_col: str, fractions: dict,
 
     from dqm_ray.state.broadcast import Broadcast
 
-    rows = ds.groupby(group_col) \
-        .aggregate(Min(id_col, alias_name="gkey")).take_all()
-    gmap = {r[group_col]: int(r["gkey"]) for r in rows}
-    bc = Broadcast(gmap)
+    # broadcast shape (VERDICT r4 item 7): two parallel SORTED numpy
+    # arrays + a searchsorted probe — the anti_join pattern — never a
+    # Python dict (at 1e9 groups a dict is GBs of pointer-chasing and a
+    # slow pickle; the array pair is compact and zero-copy to workers)
+    gdf = ds.groupby(group_col) \
+        .aggregate(Min(id_col, alias_name="gkey")).to_pandas()
+    glabels = gdf[group_col].to_numpy()
+    gkeys = gdf["gkey"].to_numpy().astype(np.int64)
+    o = np.argsort(glabels, kind="stable")
+    bc = Broadcast((glabels[o], gkeys[o]))
     names = list(fractions.keys())
     cum, edges = 0.0, []
     for name in names[:-1]:
@@ -240,10 +246,11 @@ def grouped_split(ds, *, group_col: str, id_col: str, fractions: dict,
     names_np = np.array(names, dtype=object)
 
     def assign(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         g = batch.column(group_col).to_numpy(zero_copy_only=False)
-        keys = pd.Series(g).map(bc.value).to_numpy(dtype=np.int64)
+        labels, gk = bc.value
+        # every probe label exists by construction (keys derive from the
+        # same dataset), so the searchsorted position is always a hit
+        keys = gk[np.searchsorted(labels, g)]
         h = keys.view(np.uint64) * np.uint64(SAMPLE_A) + off
         idx = np.searchsorted(edges_np, h, side="right")
         return batch.append_column(

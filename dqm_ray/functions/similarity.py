@@ -479,15 +479,6 @@ def quantize_embeddings(ds, *, vec_col: str = "embedding",
     return ds.map_batches(quant, batch_format="pyarrow", num_cpus=1)
 
 
-def _round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
-    """Round-half-AWAY-from-zero to ``decimals`` places — matches SQL
-    round(); np.round is half-to-even, which diverges from the oracle
-    on exact 5e-(d+1) ties (and, in the kmeans loop, a diverged
-    centroid feeds the next assignment pass)."""
-    s = 10.0 ** decimals
-    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
-
-
 def _quantize_mat(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Shared int8 quantization math (see quantize_embeddings): per-row
     symmetric scale, half-away rounding, zero rows -> zero."""
@@ -768,7 +759,15 @@ def knn_lsh(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 10,
     |projection| (the least-confident signs; ties by plane index).
     Every step is exact-integer on the int8-quantized vectors, so the
     probe set, candidate set and ranking key are all bitwise
-    SQL-reproducible (same two-multiply rescale as knn_quantized)."""
+    SQL-reproducible (same two-multiply rescale as knn_quantized).
+
+    Scale shape (VERDICT r4 item 4 — no driver-side cross-product): a
+    candidate is scored ONLY against queries whose probe set contains
+    its bucket (a sorted (bucket, query) pair array, searchsorted
+    expansion — never the union-of-all-probes ``isin``), and each batch
+    emits a per-query partial top-k — so at most k x n_queries rows per
+    batch reach the driver, exactly the knn_brute_force/knn_quantized
+    merge contract."""
     planes = build_lsh_planes(np.asarray(query_mat).shape[1], n_planes,
                               seed, cache_dir=cache_dir)
     q_ids = np.asarray(query_ids, dtype=np.int64)
@@ -778,37 +777,60 @@ def knn_lsh(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 10,
     flip_order = np.lexsort((np.arange(n_planes)[None, :]
                              .repeat(len(q8), 0),
                              np.abs(qproj)), axis=1)[:, :n_probe_bits]
-    probes = {int(b) for b in qb}
-    for i in range(len(q8)):
-        for p in flip_order[i]:
-            probes.add(int(qb[i]) ^ (1 << int(p)))
-    probe_ref = ray.put((planes, sorted(probes),
+    nq = len(q8)
+    # flat (bucket, query_idx) pairs, sorted by bucket for the batch-side
+    # searchsorted probe (n_probe_bits+1 distinct buckets per query —
+    # one bit flip always changes the bucket, so no within-query dups)
+    pair_b = np.concatenate([qb[:, None],
+                             qb[:, None] ^ (1 << flip_order)], axis=1) \
+        .ravel().astype(np.int64)
+    pair_q = np.repeat(np.arange(nq, dtype=np.int64), n_probe_bits + 1)
+    order = np.argsort(pair_b, kind="stable")
+    probe_ref = ray.put((planes, pair_b[order], pair_q[order],
                          {"ids": q_ids, "q8": q8, "scale": q_scale}))
 
     def score(batch: pa.Table) -> pa.Table:
-        pl, bset, q = ray.get(probe_ref)
+        pl, pb, pq, q = ray.get(probe_ref)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "di": pa.array([], pa.int64()),
+                          "se": pa.array([], pa.float64()),
+                          "sq": pa.array([], pa.float64())})
         mat = _emb_matrix(batch.column(emb_col), len(batch))
         v8, v_scale = _quantize_mat(mat.astype(np.float64))
         vb, _ = _lsh_buckets(v8, pl)
-        keep = np.isin(vb, np.asarray(bset, dtype=np.int64))
-        if not keep.any():
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             id_col: pa.array([], pa.int64()),
-                             "di": pa.array([], pa.int64()),
-                             "se": pa.array([], pa.float64()),
-                             "sq": pa.array([], pa.float64())})
+        # expand each candidate into its matching (candidate, query)
+        # pairs: range scan over the sorted pair array
+        lo = np.searchsorted(pb, vb, side="left")
+        hi = np.searchsorted(pb, vb, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        ci = np.repeat(np.arange(len(vb)), counts)
+        offs = np.arange(total) \
+            - np.repeat(np.cumsum(counts) - counts, counts)
+        qi = pq[np.repeat(lo, counts) + offs]
         ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)[keep]
-        dots = v8[keep] @ q["q8"].T                   # exact int64
-        nq = len(q["ids"])
+            .astype(np.int64)
+        di = np.einsum("ij,ij->i", v8[ci], q["q8"][qi])  # exact int64
+        sc = di.astype(np.float64) * v_scale[ci] * q["scale"][qi]
+        # per-query partial top-k inside the batch (score desc, id asc)
+        sel = np.lexsort((ids[ci], -sc, qi))
+        qs = qi[sel]
+        grp = np.r_[0, np.flatnonzero(np.diff(qs)) + 1]
+        pos = np.arange(len(qs)) \
+            - np.repeat(grp, np.diff(np.r_[grp, len(qs)]))
+        sel = sel[pos < k]
         return pa.table({
-            "query_id": pa.array(np.tile(q["ids"], len(ids)), pa.int64()),
-            id_col: pa.array(np.repeat(ids, nq), pa.int64()),
-            "di": pa.array(dots.ravel(), pa.int64()),
-            "se": pa.array(np.repeat(v_scale[keep], nq), pa.float64()),
-            "sq": pa.array(np.tile(q["scale"], len(ids)), pa.float64()),
+            "query_id": pa.array(q["ids"][qi[sel]], pa.int64()),
+            id_col: pa.array(ids[ci[sel]], pa.int64()),
+            "di": pa.array(di[sel], pa.int64()),
+            "se": pa.array(v_scale[ci[sel]], pa.float64()),
+            "sq": pa.array(q["scale"][qi[sel]], pa.float64()),
         })
 
+    # k x n_queries x n_blocks partial rows — small by construction
     df = ds.map_batches(score, batch_format="pyarrow",
                         batch_size=batch_size, num_cpus=1).to_pandas()
     df["score"] = df["di"].to_numpy().astype(np.float64) \

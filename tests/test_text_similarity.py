@@ -143,6 +143,25 @@ def test_codec_round_trips():
         decode_bmp(b"not a bmp at all----------------------------------------")
     with pytest.raises(ValueError):
         decode_wav(b"RIFFxxxxJUNK")
+    # malformed-but-well-formed-looking containers raise ValueError, not
+    # ZeroDivisionError / garbage (ADVICE r4): 0-channel WAV fmt, 0-rate
+    # WAV fmt, non-positive BMP dimensions
+    import struct
+
+    wav0 = encode_wav(np.zeros((4, 1), np.int16), 8000)
+    zero_ch = wav0[:22] + struct.pack("<H", 0) + wav0[24:]
+    with pytest.raises(ValueError, match="channels=0"):
+        decode_wav(zero_ch)
+    zero_rate = wav0[:24] + struct.pack("<I", 0) + wav0[28:]
+    with pytest.raises(ValueError, match="rate=0"):
+        decode_wav(zero_rate)
+    bmp0 = encode_bmp(np.zeros((2, 2, 3), np.uint8))
+    neg_w = bmp0[:18] + struct.pack("<i", -2) + bmp0[22:]
+    with pytest.raises(ValueError, match="malformed BMP"):
+        decode_bmp(neg_w)
+    zero_h = bmp0[:22] + struct.pack("<i", 0) + bmp0[26:]
+    with pytest.raises(ValueError, match="malformed BMP"):
+        decode_bmp(zero_h)
 
 
 def test_media_strict_decode_inverts_encode(ray_session):
