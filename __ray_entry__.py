@@ -2255,13 +2255,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_workers_can_import()
     return {
         # ORDER CONTRACT: the correctness driver gates the FIRST 50
-        # entries. Slots 1-50 therefore hold (a) the minimal set of
-        # queries that together cover every SURVEY.md S2 operator,
-        # (b) the two rows red/uncovered in round 3 (asof_prior_view,
-        # approx_distinct_users), and (c) every query that has never
-        # received a driver row. Entries past 50 all carry green
-        # CORRECTNESS_r03 rows (see that file) and pass
-        # tools/selfcheck.py, which replicates the driver compare.
+        # entries. Slots 1-50 hold (a) the minimal set of queries that
+        # together cover every SURVEY.md S2 operator, (b) asof_prior_view
+        # (red r2-r4, fixed in r5 — needs its fresh green row), (c) the
+        # nine queries that had never received a driver row before r5
+        # (windowed_counts/revenue/peak, media_features,
+        # importance_sample, jsonl/csv_ingest, knn_lsh, normalize_text),
+        # and (d) queries whose code changed this round (knn_lsh,
+        # grouped_split, knn_ivf{,_quantized}, boilerplate_lines +
+        # flagship, whose oracle corpus cache / IVF index are now derived
+        # from sf_dir instead of pinned to sf0.01). Entries past 50 all carry a
+        # green CORRECTNESS_r01-r04 row and pass tools/selfcheck.py,
+        # which replicates the driver compare (now strict on dtype kind).
         "flagship_quality": _q_flagship,
         "lineage_sha256": _q_lineage_sha256,
         "grouped_stats": _q_grouped_stats,
@@ -2275,20 +2280,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_prior_view": _q_asof_prior_view,
         "approx_distinct_users": _q_approx_distinct,
         "media_probe": _q_media_probe,
-        "shuffle_order": _q_shuffle_order,
-        "tfidf_keywords": _q_tfidf_keywords,
-        "dedup_paragraphs": _q_dedup_paragraphs,
+        "windowed_counts": _q_windowed_counts,
+        "windowed_revenue": _q_windowed_revenue,
+        "windowed_peak": _q_windowed_peak,
         "resume_semantics": _q_resume_semantics,
-        "sketch_quantiles": _q_sketch_quantiles,
-        "incremental_dedup": _q_incremental_dedup,
+        "media_features": _q_media_features,
+        "importance_sample": _q_importance_sample,
         "corpus_prep": _q_corpus_prep,
-        "rate_limit": _q_rate_limit,
-        "quantize_embeddings": _q_quantize_embeddings,
-        "knn_quantized": _q_knn_quantized,
+        "jsonl_ingest": _q_jsonl_ingest,
+        "csv_ingest": _q_csv_ingest,
+        "knn_lsh": _q_knn_lsh,
         "wire_formats": _q_wire_formats,
         "custom_rule_filter": _q_custom_rule_filter,
         "webprep": _q_webprep,
-        "funnel_conversions": _q_funnel,
+        "normalize_text": _q_normalize_text,
         "dup_report": _q_dup_report,
         "dataset_split": _q_dataset_split,
         "budget_sample": _q_budget_sample,
@@ -2308,20 +2313,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": _q_dedup_spans,
         "semantic_decontam": _q_semantic_decontam,
         "trending": _q_trending,
-        "zscore_chars": _q_zscore_chars,
+        "knn_ivf": _q_knn_ivf,
         "train_trigram_lm": _q_train_trigram_lm,
-        "corpus_diff": _q_corpus_diff,
+        "boilerplate_lines": _q_boilerplate_lines,
         "project_embeddings": _q_project_embeddings,
         "minhash_dedup": _q_minhash_dedup,
-        "windowed_counts": _q_windowed_counts,
-        "windowed_revenue": _q_windowed_revenue,
-        "windowed_peak": _q_windowed_peak,
-        "media_features": _q_media_features,
-        "importance_sample": _q_importance_sample,
-        "jsonl_ingest": _q_jsonl_ingest,
-        "csv_ingest": _q_csv_ingest,
-        "knn_lsh": _q_knn_lsh,
-        "normalize_text": _q_normalize_text,
+        "shuffle_order": _q_shuffle_order,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "sketch_quantiles": _q_sketch_quantiles,
+        "incremental_dedup": _q_incremental_dedup,
+        "rate_limit": _q_rate_limit,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "knn_quantized": _q_knn_quantized,
+        "funnel_conversions": _q_funnel,
         "doc_line_stats": _q_doc_line_stats,
         "pii_scrub": _q_pii_scrub,
         "top_k_per_lang": _q_top_k_per_lang,
@@ -2337,7 +2342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "salted_group_stats": _q_salted_group_stats,
         "knn_cosine": _q_knn_cosine,
-        "knn_ivf": _q_knn_ivf,
+        "zscore_chars": _q_zscore_chars,
         "nl_langid": _q_nl_langid,
         "fingerprint": _q_fingerprint,
         "simhash_pairs": _q_simhash_pairs,
@@ -2351,7 +2356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "events_in_window": _q_events_in_window,
         "bucketed_join_revenue": _q_bucketed_join,
-        "boilerplate_lines": _q_boilerplate_lines,
+        "corpus_diff": _q_corpus_diff,
         "doc_chunks": _q_doc_chunks,
         "anti_join_no_urgent": _q_anti_join_no_urgent,
         "rollup_revenue": _q_rollup_revenue,
@@ -3875,7 +3880,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             GROUP BY p.event_id""",
         "windowed_revenue": """
             SELECT p.event_id AS purchase_id,
-                   SUM(CAST(floor(e.value) AS BIGINT)) AS win_sum
+                   CAST(SUM(CAST(floor(e.value) AS BIGINT)) AS BIGINT) AS win_sum
             FROM events p JOIN events e
               ON e.user_id = p.user_id
              AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts
