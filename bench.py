@@ -143,11 +143,28 @@ def run_bench() -> dict:
 
     # --- per-operator queries over the sf tables (skipped in scaling
     # mode, which times the flagship alone) ---
+    # Contention-robust protocol (the r4 lesson: single-shot timings on a
+    # host with a 2-4x hypervisor noise band produced phantom 2-10x
+    # "regressions" on unchanged code): run every query once, then
+    # re-run each query whose first sample exceeded 1 s in a SECOND full
+    # pass and report the min. The two samples for a heavy query sit in
+    # different time windows, so a transient noise burst cannot inflate
+    # both; best-of-2 is the same estimator the flagship uses (best-of-N).
     qs = entry.queries()
+    query_reps: dict[str, list[float]] = {}
     for name in (BENCH_QUERIES if not SCALE_ROWS else []):
         t0 = time.perf_counter()
         _consume(qs[name](SF_DIR))
-        results[name] = round(time.perf_counter() - t0, 3)
+        dt = time.perf_counter() - t0
+        results[name] = round(dt, 3)
+        query_reps[name] = [round(dt, 3)]
+    for name in [n for n, t in results.items()
+                 if n in query_reps and t > 1.0]:
+        t0 = time.perf_counter()
+        _consume(qs[name](SF_DIR))
+        dt = time.perf_counter() - t0
+        query_reps[name].append(round(dt, 3))
+        results[name] = min(results[name], round(dt, 3))
 
     total = sum(results.values())
     return {
@@ -161,6 +178,7 @@ def run_bench() -> dict:
         "flagship_text_mb_per_sec": round(text_bytes / 1e6 / flagship_sec, 1),
         "total_sec": round(total, 3),
         "flagship_reps": flagship_reps,
+        "query_reps": {n: r for n, r in query_reps.items() if len(r) > 1},
         "queries": results,
         "sf": SF_DIR,
         "num_cpus": NCPU,

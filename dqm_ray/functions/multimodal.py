@@ -5,9 +5,10 @@ Image (uncompressed 24-bit BMP) and audio (PCM16 WAV) payloads decode
 through the built-in pure-numpy codecs (``functions/codecs.py``), so
 strict mode performs a true container decode in-sandbox — dimensions,
 sample counts and value sums are recovered from the bytes and checked
-against pre-encode ground truth. PIL (when installed) extends format
-coverage; payloads no codec handles (video/mp4 here) raise in strict
-mode. strict=False keeps a cheap vectorized byte-histogram feature
+against pre-encode ground truth. Payloads no built-in codec handles
+(image/png, video/mp4) raise in strict mode — extend ``_decode_one``
+with a real library branch (PIL/ffmpeg) to widen coverage.
+strict=False keeps a cheap vectorized byte-histogram feature
 path that never parses containers (the smoke/throughput setting).
 
 Batch sizing note (SURVEY §7.4 "very wide rows"): binary payloads are
