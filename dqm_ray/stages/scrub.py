@@ -6,6 +6,25 @@ DuckDB uses, so the SQL oracle reproduces it exactly). The full content
 is scrubbed, not just the analysis prefix. Stateless tasks; zero Python
 row loops.
 
+Candidate gate: the replace passes run only on rows that could match a
+pattern. For the stock ``SCRUB_PATTERNS`` the gate is a single chunked
+numpy byte scan over the column's data buffer (anchors below) — an
+EXACT-NECESSARY condition, so gated rows are a superset of matching
+rows and the replace passes are no-ops on the false positives; output
+is bitwise identical to scrubbing every row. Custom pattern sets fall
+back to one combined RE2 scan (correct for any regex, ~2x slower).
+
+Anchor conditions (each implied by its regex, so no false negatives):
+- email  — a ``@`` byte whose neighbors are in the local/domain
+  character classes;
+- ip     — three digit-``.``-digit positions with consecutive gaps
+  <= 4 bytes (every ``(?:\\d{1,3}\\.){3}\\d{1,3}`` match contains such
+  a chain; lone floats/"1.2.3" version strings are rejected);
+- key    — the 4-byte literal ``AKIA`` or ``ghp_``.
+UTF-8 multibyte sequences never contain ASCII bytes, so the byte-level
+scan needs no decode. Chains/neighbor checks that straddle a row
+boundary can only ADD a candidate row (superset stays exact).
+
 Reference role: the per-record rewrite step of the validate→transform
 chain (Pipeline check semantics, include/dqm/Pipeline.hpp:98-143).
 """
@@ -16,7 +35,114 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from dqm_ray.config import QualityConfig
+from dqm_ray.config import SCRUB_PATTERNS, QualityConfig
+
+_LOCAL = np.zeros(256, bool)  # email local-part class [A-Za-z0-9._%+-]
+_LOCAL[np.frombuffer(
+    b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    b"0123456789._%+-", np.uint8)] = True
+_DOMAIN = np.zeros(256, bool)  # email domain class [A-Za-z0-9.-]
+_DOMAIN[np.frombuffer(
+    b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    b"0123456789.-", np.uint8)] = True
+
+_SCAN_CHUNK = 1 << 19  # L2-resident: the extra eq passes hit cache
+# (swept 2^18..2^21 on this host: 2^18/2^19 = 93 ms, 2^20 = 102,
+# 2^21 = 121 over a 76.5 MB shard)
+
+
+def _default_candidate_mask(content: pa.Array) -> np.ndarray:
+    """Per-row bool: row may match one of the stock SCRUB_PATTERNS.
+
+    One pass over the data buffer in L2-sized chunks; the neighbor
+    checks run inside the loop while the chunk is cache-hot (doing them
+    after a global position scan costs millions of scattered DRAM
+    gathers — measured 2x slower). Only the tiny surviving anchor
+    arrays leave the loop."""
+    n = len(content)
+    off = np.frombuffer(content.buffers()[1], np.int64)[
+        content.offset:content.offset + n + 1]
+    whole = np.frombuffer(content.buffers()[2], np.uint8)
+    base = int(off[0])
+    data = whole[base:int(off[-1])]
+    N = len(data)
+    at_hits, dd_all, key_hits = [], [], []
+    scratch = np.empty(_SCAN_CHUNK, bool)
+    for s in range(0, N, _SCAN_CHUNK):
+        d = data[s:s + _SCAN_CHUNK]
+        m = scratch[:len(d)]
+        # email: local-class byte, '@', domain-class byte
+        np.equal(d, 0x40, out=m)
+        q = np.flatnonzero(m) + s
+        q = q[(q > 0) & (q + 1 < N)]
+        if len(q):
+            at_hits.append(q[_LOCAL[data[q - 1]] & _DOMAIN[data[q + 1]]])
+        # ip anchors: digit-'.'-digit (chain check is global, below)
+        np.equal(d, 0x2E, out=m)
+        q = np.flatnonzero(m) + s
+        q = q[(q > 0) & (q + 1 < N)]
+        if len(q):
+            lo, hi = data[q - 1], data[q + 1]
+            dd_all.append(
+                q[(lo >= 0x30) & (lo <= 0x39) & (hi >= 0x30) & (hi <= 0x39)])
+        # key: 4-byte literal anchors AKIA / ghp_
+        for first, rest in ((0x41, (0x4B, 0x49, 0x41)),
+                            (0x67, (0x68, 0x70, 0x5F))):
+            np.equal(d, first, out=m)
+            q = np.flatnonzero(m) + s
+            q = q[q + 3 < N]
+            if len(q):
+                keep = data[q + 1] == rest[0]
+                keep &= data[q + 2] == rest[1]
+                keep &= data[q + 3] == rest[2]
+                key_hits.append(q[keep])
+    hits = at_hits + key_hits
+    # ip: chain of three digit-'.'-digit anchors with gaps <= 4 — every
+    # (?:\d{1,3}\.){3}\d{1,3} match contains one; "1.2.3" does not.
+    dd = np.concatenate(dd_all) if dd_all else np.empty(0, np.int64)
+    if len(dd) >= 3:
+        g1 = dd[1:-1] - dd[:-2]
+        g2 = dd[2:] - dd[1:-1]
+        hits.append(dd[:-2][(g1 <= 4) & (g2 <= 4)])
+    allpos = np.concatenate(hits) if hits else np.empty(0, np.int64)
+    mask = np.zeros(n, bool)
+    if len(allpos):
+        rows = np.searchsorted(off, allpos + base, side="right") - 1
+        mask[rows] = True
+    return mask
+
+
+def _splice_rows(content: pa.Array, idx: np.ndarray,
+                 sub: pa.Array) -> pa.Array:
+    """Rebuild `content` with rows `idx` replaced by `sub` (same order).
+    One bulk memcpy per unchanged run + one per replaced row — ~5x
+    cheaper than pc.replace_with_mask's generic kernel on mostly-
+    unchanged large_string columns."""
+    n = len(content)
+    off = np.frombuffer(content.buffers()[1], np.int64)[
+        content.offset:content.offset + n + 1]
+    data = np.frombuffer(content.buffers()[2], np.uint8)
+    s_off = np.frombuffer(sub.buffers()[1], np.int64)[
+        sub.offset:sub.offset + len(sub) + 1]
+    s_data = np.frombuffer(sub.buffers()[2], np.uint8)
+    lengths = np.diff(off)
+    new_len = lengths.copy()
+    new_len[idx] = np.diff(s_off)
+    new_off = np.empty(n + 1, np.int64)
+    new_off[0] = 0
+    np.cumsum(new_len, out=new_off[1:])
+    new_data = np.empty(new_off[-1], np.uint8)
+    prev = 0  # row index after the last replaced row
+    for k, r in enumerate(idx):
+        if r > prev:  # unchanged run [prev, r)
+            new_data[new_off[prev]:new_off[r]] = data[off[prev]:off[r]]
+        new_data[new_off[r]:new_off[r + 1]] = s_data[s_off[k]:s_off[k + 1]]
+        prev = r + 1
+    if prev < n:
+        new_data[new_off[prev]:new_off[n]] = data[off[prev]:off[n]]
+    return pa.Array.from_buffers(
+        pa.large_string(), n, [None, pa.py_buffer(new_off),
+                               pa.py_buffer(new_data)])
 
 
 def scrub_batch(batch: pa.Table, *, cfg: QualityConfig,
@@ -26,13 +152,16 @@ def scrub_batch(batch: pa.Table, *, cfg: QualityConfig,
     scrubbed form — lineage sha256 must run BEFORE this stage."""
     content = batch.column(text_col)
     content = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
-    # candidate gate: ONE combined RE2 scan (literal-prefiltered, ~GB/s)
-    # finds rows that could match any pattern; the 3 replace passes then
-    # run only on those rows — a no-op on the rest by construction, so
-    # outputs are identical to replacing over every row.
-    combined = "|".join(p for _n, p, _r in cfg.scrub.patterns)
-    cand = pc.match_substring_regex(content, combined)
-    cand_np = cand.to_numpy(zero_copy_only=False)
+    if pa.types.is_string(content.type):  # int32 offsets: promote so
+        content = content.cast(pa.large_string())  # the int64 view is valid
+    fast = cfg.scrub.patterns == SCRUB_PATTERNS and content.null_count == 0
+    if fast:
+        cand_np = _default_candidate_mask(content)
+    else:
+        # custom patterns: one combined RE2 scan (exact, any regex)
+        combined = "|".join(p for _n, p, _r in cfg.scrub.patterns)
+        cand_np = pc.match_substring_regex(content, combined) \
+            .to_numpy(zero_copy_only=False)
     if not cand_np.any():
         out = batch.set_column(batch.column_names.index(text_col), text_col,
                                content)
@@ -44,8 +173,12 @@ def scrub_batch(batch: pa.Table, *, cfg: QualityConfig,
     for _name, pattern, repl in cfg.scrub.patterns:
         sub = pc.replace_substring_regex(sub, pattern=pattern,
                                          replacement=repl)
-    # scatter rewritten rows back with the replace_with_mask kernel
-    scrubbed = pc.replace_with_mask(content, cand, sub)
+    # scatter rewritten rows back over the unchanged remainder
+    if fast:
+        scrubbed = _splice_rows(content, idx_np, sub.combine_chunks()
+                                if isinstance(sub, pa.ChunkedArray) else sub)
+    else:
+        scrubbed = pc.replace_with_mask(content, pa.array(cand_np), sub)
     changed_rows = np.zeros(len(batch), dtype=bool)
     changed_rows[idx_np] = pc.not_equal(sub, orig_sub) \
         .to_numpy(zero_copy_only=False)

@@ -82,6 +82,59 @@ def test_scrub_exact(corpus_table, cfg):
             assert s and "<KEY>" in c
 
 
+def test_scrub_prefilter_edges(cfg):
+    """The numpy anchor prefilter must flag every row RE2 would rewrite
+    (exact-necessary), and the fast path must equal both the RE2
+    fallback path (forced via nulls) and brute-force replacement —
+    including anchor-at-boundary, chain-split and lookalike rows."""
+    import pyarrow.compute as pc
+
+    rows = [
+        "a@b.co",                      # minimal email
+        "@b.co", "a@", "@",            # '@' without a match
+        " @x.io", "a@ x",              # class-invalid neighbors
+        "x=1.2.3.4;",                  # ip mid-row
+        "1.2.3.4",                     # ip is the whole row
+        "v1.2.3 and 3.14",             # version/float lookalikes
+        "1..2..3..4", "9.9.9.9.9",     # degenerate dot runs
+        "1.2.3\n4.5.6.7",              # chain split across lines
+        "AKIA" + "B" * 16, "AKIA" + "b" * 16,   # key + lowercase miss
+        "ghp_" + "a" * 36, "ghp-" + "a" * 36,
+        "née@exämple.com", "中@例.com",  # multibyte neighbors
+        "", "plain text", "a" * 3000 + " tail@x.io",
+    ]
+    t = pa.table({"content": pa.array(rows, pa.large_string())})
+    fast = scrub_batch(t, cfg=cfg)
+    # a null row forces the combined-RE2 fallback gate for the batch
+    t_null = pa.table({"content": pa.array(rows + [None], pa.large_string())})
+    slow = scrub_batch(t_null, cfg=cfg).slice(0, len(rows))
+    assert fast["content"].to_pylist() == slow["content"].to_pylist()
+    assert fast["scrubbed"].to_pylist() == slow["scrubbed"].to_pylist()
+    brute = t.column("content").combine_chunks()
+    for _n, pat, rep in cfg.scrub.patterns:
+        brute = pc.replace_substring_regex(brute, pattern=pat,
+                                           replacement=rep)
+    assert fast["content"].to_pylist() == brute.to_pylist()
+
+
+def test_scrub_custom_patterns_fallback():
+    """Non-default pattern sets take the combined-RE2 gate and still
+    rewrite correctly."""
+    from dataclasses import replace as dc_replace
+
+    from dqm_ray.config import QualityConfig, ScrubConfig
+
+    cfg2 = dc_replace(QualityConfig(), scrub=ScrubConfig(
+        patterns=(("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),)))
+    t = pa.table({"content": pa.array(
+        ["ssn 123-45-6789 here", "no match", "a@b.co stays"],
+        pa.large_string())})
+    out = scrub_batch(t, cfg=cfg2)
+    assert out["content"].to_pylist() == [
+        "ssn <SSN> here", "no match", "a@b.co stays"]
+    assert out["scrubbed"].to_pylist() == [True, False, False]
+
+
 def test_sha256_matches_hashlib(corpus_table):
     import hashlib
 
