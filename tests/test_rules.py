@@ -201,3 +201,36 @@ def test_ascii_fast_path_equals_utf8_path(cfg):
                 prefix_slice(content, cfg.scorer_prefix_chars,
                              False).to_pylist())
             assert sc["log_ppl"].tolist() == via_list.tolist()
+
+
+def test_segment_counts_swar_equals_reduceat():
+    """The lane-parallel segment_counts must be bitwise-equal to the
+    naive reduceat for arbitrary 0/1 flags and segment layouts,
+    including empty segments, unaligned offsets, and rows larger than
+    one 255-word lane block (>2040 bytes)."""
+    import numpy as np
+
+    from dqm_ray.stages.rules import segment_counts
+
+    def naive(flags, offs):
+        n = len(offs) - 1
+        counts = np.zeros(n, dtype=np.int64)
+        nonempty = offs[:-1] < offs[1:]
+        if nonempty.any() and len(flags):
+            counts[nonempty] = np.add.reduceat(
+                flags, offs[:-1][nonempty], dtype=np.int64)
+        return counts
+
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        n = int(rng.integers(0, 30))
+        hi = 6000 if trial % 3 == 0 else 40  # cross the 2040-byte block cap
+        lens = rng.integers(0, hi, n)
+        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        flags = rng.integers(0, 2, offs[-1]).astype(np.uint8)
+        assert np.array_equal(segment_counts(flags, offs),
+                              naive(flags, offs)), trial
+    # degenerate shapes
+    z = np.zeros(0, np.uint8)
+    assert segment_counts(z, np.array([0], np.int64)).tolist() == []
+    assert segment_counts(z, np.array([0, 0, 0], np.int64)).tolist() == [0, 0]
