@@ -177,18 +177,25 @@ class ScorerStage:
             log_ppl = self.model.log_ppl_many(prefix.to_pylist())
 
         # lang_mismatch: declared lang has a marker profile, file is big
-        # enough, none of the declared lang's markers appear
+        # enough, none of the declared lang's markers appear.
+        # n_lines/nonblank feed ONLY this mask, and the other two
+        # conjuncts (declared lang known, zero marker hits) are already
+        # free from the hits matrix — so the line-split and whitespace
+        # trim run on the ~15% candidate subset, not every row.
         declared = batch.column("lang").to_numpy(zero_copy_only=False)
         decl_idx = np.array([self.lang_index.get(l, -1) for l in declared])
-        n_lines = pc.list_value_length(pc.split_pattern(prefix, "\n")) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        nonblank = pc.greater(
-            pc.utf8_length(pc.utf8_trim_whitespace(prefix)), 0
-        ).to_numpy(zero_copy_only=False)
         decl_hits = np.where(decl_idx >= 0,
                              hits[np.maximum(decl_idx, 0), np.arange(n)], 1)
-        mismatch = (decl_idx >= 0) & (n_lines >= cfg.langid_min_lines) \
-            & nonblank & (decl_hits == 0)
+        mismatch = np.zeros(n, dtype=bool)
+        cand = np.flatnonzero((decl_idx >= 0) & (decl_hits == 0))
+        if cand.size:
+            sub = prefix.take(pa.array(cand))
+            n_lines = pc.list_value_length(pc.split_pattern(sub, "\n")) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            nonblank = pc.greater(
+                pc.utf8_length(pc.utf8_trim_whitespace(sub)), 0
+            ).to_numpy(zero_copy_only=False)
+            mismatch[cand] = (n_lines >= cfg.langid_min_lines) & nonblank
         high_ppl = log_ppl > cfg.max_log_ppl
 
         from dqm_ray.stages.rules import reasons_from_masks
