@@ -73,19 +73,37 @@ class VectorBigramModel:
         out = np.zeros(n, dtype=np.float64)
         if len(ids) < 2:
             return out
-        lp = self.log_p[ids[:-1], ids[1:]]
-        straddle = offs[1:-1] - 1          # gram between doc i and i+1
-        lp[straddle[(straddle >= 0) & (straddle < len(lp))]] = 0.0
         counts = np.maximum(lens - 1, 0)
         sums = np.zeros(n, dtype=np.float64)
-        nonempty = lens > 0                # zero-width docs break reduceat
-        starts = offs[:-1][nonempty]
-        if starts.size:
-            valid = starts < len(lp)       # trailing docs may have no grams
-            seg = np.zeros(int(nonempty.sum()), dtype=np.float64)
-            if valid.any():
-                seg[valid] = np.add.reduceat(lp, starts[valid])
-            sums[nonempty] = seg
+        # Chunked at ROW boundaries so the float64 gather temp stays
+        # cache-resident instead of streaming an 8x blowup of the input
+        # through DRAM (the scrub-prefilter lesson). Each chunk carries
+        # ONE id past its last row so that row's segment keeps its zeroed
+        # boundary gram: reduceat sums pairwise, so segment LENGTH (not
+        # just values) must match the monolithic version for bit-identical
+        # results — verified by fuzz in test_scorer_ppl_chunked.
+        CH = 1 << 19
+        r = 0
+        while r < n:
+            r2 = int(np.searchsorted(offs, offs[r] + CH, side="right")) - 1
+            r2 = min(max(r2, r + 1), n)
+            a = int(offs[r])
+            b_ext = min(int(offs[r2]) + 1, len(ids))
+            seg_ids = ids[a:b_ext]
+            if len(seg_ids) >= 2:
+                lp = self.log_p[seg_ids[:-1], seg_ids[1:]]
+                strad = offs[r + 1:r2 + 1] - 1 - a  # gram between doc i, i+1
+                lp[strad[(strad >= 0) & (strad < len(lp))]] = 0.0
+                w_lens = lens[r:r2]
+                nonempty = w_lens > 0          # zero-width docs break reduceat
+                starts = (offs[r:r2] - a)[nonempty]
+                if starts.size:
+                    valid = starts < len(lp)   # trailing docs may lack grams
+                    seg = np.zeros(int(nonempty.sum()), dtype=np.float64)
+                    if valid.any():
+                        seg[valid] = np.add.reduceat(lp, starts[valid])
+                    sums[r:r2][nonempty] = seg
+            r = r2
         return np.where(counts > 0, -sums / np.maximum(counts, 1), 0.0)
 
 

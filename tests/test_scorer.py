@@ -218,3 +218,48 @@ def test_marker_alternation_equals_per_marker_counts():
                      .to_numpy(zero_copy_only=False)
                      for mk in LANG_MARKERS[lang])
         assert (combined == summed).all(), lang
+
+
+def test_scorer_ppl_chunked_bit_identical():
+    """_ppl_core chunks the lp gather at row boundaries (cache-resident
+    temps); reduceat sums pairwise, so each row's segment must keep the
+    exact length it had in the monolithic formulation — fuzz against an
+    inline monolithic twin, including rows longer than the chunk size,
+    empty rows, and production-shaped (~8 KB) rows."""
+    m = VectorBigramModel("the quick brown fox " * 50)
+
+    def monolithic(ids, offs, lens):
+        n = len(lens)
+        out = np.zeros(n, dtype=np.float64)
+        if len(ids) < 2:
+            return out
+        lp = m.log_p[ids[:-1], ids[1:]]
+        straddle = offs[1:-1] - 1
+        lp[straddle[(straddle >= 0) & (straddle < len(lp))]] = 0.0
+        counts = np.maximum(lens - 1, 0)
+        sums = np.zeros(n, dtype=np.float64)
+        nonempty = lens > 0
+        starts = offs[:-1][nonempty]
+        if starts.size:
+            valid = starts < len(lp)
+            seg = np.zeros(int(nonempty.sum()), dtype=np.float64)
+            if valid.any():
+                seg[valid] = np.add.reduceat(lp, starts[valid])
+            sums[nonempty] = seg
+        return np.where(counts > 0, -sums / np.maximum(counts, 1), 0.0)
+
+    rng = np.random.default_rng(17)
+    for trial in range(60):
+        nrows = int(rng.integers(1, 40))
+        lens = rng.integers(0, 60, nrows)
+        if trial % 7 == 0:  # row longer than the 2^19 chunk
+            lens[rng.integers(0, nrows)] = rng.integers(1 << 19, 1 << 20)
+        if trial % 11 == 0:  # production-shaped
+            lens[:] = rng.integers(4000, 9000, nrows)
+        lens = lens.astype(np.int64)
+        offs = np.zeros(nrows + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        ids = rng.integers(0, 128, int(offs[-1])).astype(np.int64)
+        want = monolithic(ids, offs, lens)
+        got = m._ppl_core(ids, offs, lens)
+        assert np.array_equal(want, got), trial
