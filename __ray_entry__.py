@@ -120,11 +120,33 @@ def _corpus_paths(sf_dir: str) -> list[str]:
                         n_shards=32 if n >= 100_000 else 8)
 
 
-def _docs(sf_dir: str, columns=None):
+_SF_BYTES: dict[str, int] = {}
+
+
+def _read_sf(sf_dir: str, table: str, columns=None):
+    """``read_parquet`` with data-sized blocks. Ray's small-file
+    heuristic splits a 1.6 MB sf0.1 table into ~64 blocks (~100 rows
+    each), and every downstream stage and shuffle then schedules 64
+    near-empty tasks — 2–5 s of pure fixed overhead per query. Size
+    blocks at ~32 MB with a floor of 8 so tiny tables stay 8-way
+    parallel; inputs past 256 MB keep Ray's own heuristic, so the
+    sizing holds at scale (a 100 TB table is many files anyway)."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=columns)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    b = _SF_BYTES.get(path)
+    if b is None:
+        md = pq.read_metadata(path)
+        b = sum(md.row_group(i).total_byte_size
+                for i in range(md.num_row_groups))
+        _SF_BYTES[path] = b
+    nb = max(8, b >> 25) if b < (1 << 28) else None
+    return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
+
+
+def _docs(sf_dir: str, columns=None):
+    return _read_sf(sf_dir, "documents", columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -364,7 +386,7 @@ def _q_events_hourly(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_sf(sf_dir, "events",
                          columns=["event_type", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -404,7 +426,7 @@ def _q_seg_revenue(sf_dir: str):
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_mktsegment"]).to_pandas()
     cust = cust.rename(columns={"c_custkey": "o_custkey"})
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = _read_sf(sf_dir, "orders",
                              columns=["o_custkey", "o_totalprice"])
     joined = broadcast_join(orders, cust, on="o_custkey")
 
@@ -431,11 +453,11 @@ def _q_join_order_lines(sf_dir: str):
 
     from dqm_ray.functions.joins import partitioned_hash_join
 
-    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+    li = _read_sf(sf_dir, "lineitem",
                          columns=["l_orderkey", "l_quantity"])
     li = li.map_batches(lambda t: t.rename_columns(["orderkey", "l_quantity"]),
                         batch_format="pyarrow")
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = _read_sf(sf_dir, "orders",
                              columns=["o_orderkey", "o_orderpriority"])
     orders = orders.map_batches(
         lambda t: t.rename_columns(["orderkey", "o_orderpriority"]),
@@ -466,9 +488,9 @@ def _q_join_native(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+    li = _read_sf(sf_dir, "lineitem",
                          columns=["l_orderkey", "l_quantity"])
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = _read_sf(sf_dir, "orders",
                              columns=["o_orderkey", "o_orderpriority"])
     joined = li.join(orders, "inner", num_partitions=16,
                      on=("l_orderkey",), right_on=("o_orderkey",))
@@ -495,7 +517,7 @@ def _q_top_orders(sf_dir: str):
     import pandas as pd
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    ds = _read_sf(sf_dir, "orders",
                          columns=["o_orderkey", "o_totalprice"])
     top = ds.sort(["o_totalprice", "o_orderkey"],
                   descending=[True, False]).limit(20).to_pandas()
@@ -538,7 +560,7 @@ def _q_user_sessions(sf_dir: str):
     import ray.data as rd
     from dqm_ray.functions.windows import sessionize
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_sf(sf_dir, "events",
                          columns=["user_id", "ts"])
     return sessionize(ds, key_col="user_id", ts_col="ts", gap_minutes=30)
 
@@ -551,7 +573,7 @@ def _q_key_deltas(sf_dir: str):
     import ray.data as rd
     from dqm_ray.functions.windows import key_deltas
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_sf(sf_dir, "events",
                          columns=["user_id", "ts"])
     return key_deltas(ds, key_col="user_id", ts_col="ts")
 
@@ -564,7 +586,7 @@ def _q_repetition_stats(sf_dir: str):
     import ray.data as rd
     from dqm_ray.functions.repetition import repetition_stats
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_sf(sf_dir, "documents",
                          columns=["doc_id", "text"])
     return repetition_stats(ds)
 
@@ -649,7 +671,7 @@ def _q_quantize_embeddings(sf_dir: str):
 
     from dqm_ray.functions.similarity import quantize_embeddings
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = _read_sf(sf_dir, "embeddings",
                          columns=["vec_id", "embedding"])
     return quantize_embeddings(ds)
 
@@ -702,7 +724,7 @@ def _q_value_outliers(sf_dir: str):
 
     from dqm_ray.functions.quantiles import grouped_discrete_quantiles
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_sf(sf_dir, "events",
                          columns=["event_id", "event_type", "value"])
 
     def cents(batch: pa.Table) -> pa.Table:
@@ -784,7 +806,7 @@ def _q_props_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_sf(sf_dir, "events",
                          columns=["event_type", "props"])
 
     def extract(batch: pa.Table) -> pa.Table:
@@ -989,7 +1011,7 @@ def _q_rate_limit(sf_dir: str):
 
     from dqm_ray.functions.windows import rate_limit
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_sf(sf_dir, "events",
                          columns=["event_id", "ts", "user_id"])
     return rate_limit(ds, window_minutes=60, k=3)
 
@@ -1080,7 +1102,7 @@ def _q_events_sliding(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_sf(sf_dir, "events",
                          columns=["event_type", "ts"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1152,7 +1174,7 @@ def _q_approx_distinct(sf_dir: str):
 
     from dqm_ray.aggregates import ApproxDistinct
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_sf(sf_dir, "events",
                          columns=["event_type", "user_id"])
     return ds.groupby("event_type").aggregate(
         ApproxDistinct("user_id", alias_name="approx_users"))
@@ -1233,7 +1255,7 @@ def _q_fourier_events(sf_dir: str):
 
     from dqm_ray.functions.spectral import fourier_by_key
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_sf(sf_dir, "events",
                          columns=["event_type", "ts", "value", "event_id"])
     out = fourier_by_key(ds, key="event_type", value_col="value",
                          order_col="event_id", n_points=256)
@@ -1261,7 +1283,7 @@ def _q_fourier_total(sf_dir: str):
 
     from dqm_ray.functions.spectral import fourier_total
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_sf(sf_dir, "events",
                          columns=["event_type", "value", "event_id"])
     df = fourier_total(ds, key="event_type", value_col="value",
                        order_col="event_id", n_points=256)
@@ -1311,7 +1333,7 @@ def _ensure_ivf_index(sf_dir: str) -> str:
         import shutil
 
         shutil.rmtree(idx, ignore_errors=True)
-        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+        ds = _read_sf(sf_dir, "embeddings",
                              columns=["vec_id", "embedding"])
         build_ivf_index(ds, idx, n_centroids=8)
         with open(marker, "w") as f:
@@ -1518,7 +1540,7 @@ def _q_project_embeddings(sf_dir: str):
 
     from dqm_ray.functions.similarity import project_embeddings
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = _read_sf(sf_dir, "embeddings",
                          columns=["vec_id", "embedding"])
     return project_embeddings(ds, out_dim=16, seed=17)
 
@@ -1612,7 +1634,7 @@ def _q_trending(sf_dir: str):
 
     from dqm_ray.functions.windows import trending
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_sf(sf_dir, "events",
                          columns=["ts", "event_type"])
     return trending(ds, window_minutes=60, k=3)
 
@@ -1678,7 +1700,7 @@ def _q_funnel(sf_dir: str):
 
     from dqm_ray.functions.windows import funnel
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_sf(sf_dir, "events",
                          columns=["user_id", "ts", "event_type"])
     return funnel(ds, window_minutes=10)
 
@@ -1734,7 +1756,7 @@ def _q_embedding_near_dup(sf_dir: str):
 
     import pandas as pd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = _read_sf(sf_dir, "embeddings",
                          columns=["vec_id", "embedding"])
     # random test embeddings have no 0.95-cosine near-dups; a loose
     # threshold + few planes exercises the bucket→verify path end-to-end
@@ -1904,7 +1926,7 @@ def _q_label_centroids(sf_dir: str):
 
     from dqm_ray.functions.similarity import label_centroids
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = _read_sf(sf_dir, "embeddings",
                          columns=["label", "embedding"])
     return label_centroids(ds)
 
@@ -2169,7 +2191,7 @@ def _q_anti_join_no_urgent(sf_dir: str):
 
     from dqm_ray.functions.joins import anti_join
 
-    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+    cust = _read_sf(sf_dir, "customer",
                            columns=["c_custkey", "c_mktsegment"])
     urgent = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"],
@@ -2232,7 +2254,7 @@ def _q_kmeans_embeddings(sf_dir: str):
 
     from dqm_ray.functions.similarity import kmeans_embeddings
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = _read_sf(sf_dir, "embeddings",
                          columns=["vec_id", "embedding"])
     return kmeans_embeddings(ds, k=8, iters=3)
 
