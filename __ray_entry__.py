@@ -123,7 +123,7 @@ def _corpus_paths(sf_dir: str) -> list[str]:
 _SF_BYTES: dict[str, int] = {}
 
 
-def _read_sf(sf_dir: str, table: str, columns=None):
+def _read_sf(sf_dir: str, table: str, columns=None, **kwargs):
     """``read_parquet`` with data-sized blocks. Ray's small-file
     heuristic splits a 1.6 MB sf0.1 table into ~64 blocks (~100 rows
     each), and every downstream stage and shuffle then schedules 64
@@ -142,7 +142,8 @@ def _read_sf(sf_dir: str, table: str, columns=None):
                 for i in range(md.num_row_groups))
         _SF_BYTES[path] = b
     nb = max(8, b >> 25) if b < (1 << 28) else None
-    return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
+    return rd.read_parquet(path, columns=columns, override_num_blocks=nb,
+                           **kwargs)
 
 
 def _docs(sf_dir: str, columns=None):
@@ -343,8 +344,8 @@ def _q_q1_pricing(sf_dir: str):
     import pyarrow.compute as pc  # noqa: F401
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(
-        path,
+    ds = _read_sf(
+        sf_dir, "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"],
         filter=(pads.field("l_shipdate") < pa.scalar(
@@ -535,8 +536,8 @@ def _q_union_counts(sf_dir: str):
     # ONE pruned read with an isin row filter (a union of two separate
     # filtered reads of the same file would scan matching row groups
     # twice); Dataset.union itself is exercised by the join operators
-    both = rd.read_parquet(path, columns=["lang", "source"],
-                           filter=(pads.field("lang").isin(["de", "zh"])))
+    both = _read_sf(sf_dir, "documents", columns=["lang", "source"],
+                    filter=(pads.field("lang").isin(["de", "zh"])))
 
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -938,7 +939,9 @@ def _q_custom_rule_filter(sf_dir: str):
 
     cfg = dataclasses.replace(QualityConfig(), enabled_rules=(),
                               custom_rules=("brace_heavy",))
-    ds = rd.read_parquet(_corpus_paths(sf_dir), columns=["path", "content"])
+    paths = _corpus_paths(sf_dir)
+    ds = rd.read_parquet(paths, columns=["path", "content"],
+                         override_num_blocks=len(paths))
 
     def run(batch: pa.Table) -> pa.Table:
         out = heuristic_rules_batch(batch, cfg=cfg)
@@ -975,7 +978,7 @@ def _q_knn_lsh(sf_dir: str):
     mask = np.asarray(head["vec_id"]) < 4
     q_ids = np.asarray(head["vec_id"])[mask]
     q_mat = np.stack(head["embedding"].to_numpy(zero_copy_only=False)[mask])
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = _read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     df = knn_lsh(ds, q_ids, q_mat, k=10, n_planes=6, n_probe_bits=4,
                  cache_dir=_CACHE)
     df["score"] = np.round(df["score"].to_numpy(), 6)
@@ -991,7 +994,7 @@ def _q_knn_quantized(sf_dir: str):
     from dqm_ray.functions.similarity import knn_quantized
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = _read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     import pyarrow.parquet as pq
 
     head = pq.read_table(path, columns=["vec_id", "embedding"])
@@ -1198,10 +1201,10 @@ def _q_asof_prior_view(sf_dir: str):
     from dqm_ray.functions.joins import asof_join
 
     path = os.path.join(sf_dir, "events.parquet")
-    clicks = rd.read_parquet(path, columns=["event_id", "user_id", "ts"],
-                             filter=(pads.field("event_type") == "click"))
-    views = rd.read_parquet(path, columns=["event_id", "user_id", "ts"],
-                            filter=(pads.field("event_type") == "view"))
+    clicks = _read_sf(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+                      filter=(pads.field("event_type") == "click"))
+    views = _read_sf(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+                     filter=(pads.field("event_type") == "view"))
 
     def dup_ts(t: pa.Table) -> pa.Table:
         # merge_asof keeps only the LEFT `on` column; carry the right
@@ -1303,7 +1306,7 @@ def _q_knn_cosine(sf_dir: str):
     from dqm_ray.functions.similarity import knn_brute_force
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = _read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     import pyarrow.parquet as pq
 
     head = pq.read_table(path, columns=["vec_id", "embedding"])
@@ -1612,7 +1615,7 @@ def _q_semantic_decontam(sf_dir: str):
     from dqm_ray.functions.decontam import semantic_decontam
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = _read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def parity(d, rem):
         return d.map_batches(
@@ -1952,13 +1955,13 @@ def _q_bucketed_join(sf_dir: str):
         # concurrent builders race harmlessly (loser removes its copy)
         tmp = f"{base}.tmp{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
-        orders = rd.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
+        orders = _read_sf(
+            sf_dir, "orders",
             columns=["o_custkey", "o_totalprice"]) \
             .map_batches(lambda t: t.rename_columns(
                 ["custkey", "o_totalprice"]), batch_format="pyarrow")
-        cust = rd.read_parquet(
-            os.path.join(sf_dir, "customer.parquet"),
+        cust = _read_sf(
+            sf_dir, "customer",
             columns=["c_custkey", "c_nationkey"]) \
             .map_batches(lambda t: t.rename_columns(
                 ["custkey", "c_nationkey"]), batch_format="pyarrow")
@@ -2013,10 +2016,10 @@ def _q_events_in_window(sf_dir: str):
             "w_end": ts,
         })
 
-    intervals = rd.read_parquet(
-        path, columns=["event_id", "user_id", "event_type", "ts"]) \
+    intervals = _read_sf(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"]) \
         .map_batches(mk_intervals, batch_format="pyarrow")
-    points = rd.read_parquet(path, columns=["event_id", "user_id", "ts"])
+    points = _read_sf(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     pairs = interval_join(
         intervals, points, by="user_id", start_col="w_start",
         end_col="w_end", point_col="ts", int_id="purchase_id",
@@ -2038,8 +2041,8 @@ def _q_windowed_counts(sf_dir: str):
 
     from dqm_ray.functions.windows import windowed_count
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
+    ds = _read_sf(
+        sf_dir, "events",
         columns=["event_id", "user_id", "event_type", "ts"])
 
     def mark(b: pa.Table) -> pa.Table:
@@ -2071,8 +2074,8 @@ def _q_windowed_revenue(sf_dir: str):
 
     from dqm_ray.functions.windows import windowed_sum
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
+    ds = _read_sf(
+        sf_dir, "events",
         columns=["event_id", "user_id", "event_type", "ts", "value"])
 
     def mark(b: pa.Table) -> pa.Table:
@@ -2107,8 +2110,8 @@ def _q_windowed_peak(sf_dir: str):
 
     from dqm_ray.functions.windows import windowed_extreme
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
+    ds = _read_sf(
+        sf_dir, "events",
         columns=["event_id", "user_id", "event_type", "ts", "value"])
 
     def mark(b: pa.Table) -> pa.Table:
@@ -2193,8 +2196,8 @@ def _q_anti_join_no_urgent(sf_dir: str):
 
     cust = _read_sf(sf_dir, "customer",
                            columns=["c_custkey", "c_mktsegment"])
-    urgent = rd.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"],
+    urgent = _read_sf(
+        sf_dir, "orders", columns=["o_custkey"],
         filter=(pads.field("o_orderpriority") == "1-URGENT"))
     left = anti_join(cust, urgent, on="c_custkey", right_on="o_custkey")
     return left.groupby("c_mktsegment").aggregate(
@@ -2210,8 +2213,8 @@ def _q_rollup_revenue(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
+    ds = _read_sf(
+        sf_dir, "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
