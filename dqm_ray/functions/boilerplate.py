@@ -104,14 +104,18 @@ def _doc_distinct_counts(codes: np.ndarray, rows: np.ndarray,
     Returns (codes_present, n_docs) for codes with >= 1 doc."""
     if not len(codes):
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    # pack (code, row) into one int64 and single-key sort: 2.1x faster
-    # than the two-pass lexsort on this host (both fit easily — codes
-    # index a per-batch dictionary, rows index a per-batch row, and
-    # Arrow batches are nowhere near 2^31 rows)
-    packed = np.sort((codes << 32) | rows)
+    # pack (row, code) — row-major, not code-major — into one int64 and
+    # single-key sort: ~2x faster again than the (code, row) pack
+    # because ``rows`` is already non-decreasing (flat lines are in doc
+    # order), so the packed array is nearly sorted and the code field
+    # only needs bit_length(dict_size) low bits (both fit easily —
+    # codes index a per-batch dictionary, rows index a per-batch row)
+    bits = max(int(dict_size - 1).bit_length(), 1)
+    packed = np.sort((rows << bits) | codes)
     first = np.ones(len(packed), dtype=bool)
     first[1:] = packed[1:] != packed[:-1]
-    counts = np.bincount(packed[first] >> 32, minlength=dict_size)
+    counts = np.bincount(packed[first] & ((1 << bits) - 1),
+                         minlength=dict_size)
     uniq = np.nonzero(counts)[0].astype(np.int64)
     return uniq, counts[uniq].astype(np.int64)
 
