@@ -58,6 +58,23 @@ def test_boilerplate_removes_frequent_lines(ray_session):
     assert out.loc[14, "text"] == "" and out.loc[14, "n_removed"] == 0
 
 
+def test_doc_distinct_counts_matches_bruteforce():
+    """The packed-key distinct-(doc, code) counter == a pandas dedupe,
+    across dict sizes that exercise the bit-width packing (including
+    dict_size=1, where the code field floors to one bit)."""
+    from dqm_ray.functions.boilerplate import _doc_distinct_counts
+
+    rng = np.random.default_rng(7)
+    for dict_size, n in [(1, 40), (2, 100), (40_000, 50_000), (3, 0)]:
+        codes = rng.integers(0, dict_size, n).astype(np.int64)
+        rows = np.sort(rng.integers(0, max(n // 4, 1), n)).astype(np.int64)
+        uniq, counts = _doc_distinct_counts(codes, rows, dict_size)
+        ref = pd.DataFrame({"c": codes, "r": rows}).drop_duplicates() \
+            .groupby("c").size()
+        assert np.array_equal(uniq, ref.index.to_numpy())
+        assert np.array_equal(counts, ref.to_numpy())
+
+
 def test_boilerplate_bucketed_matches_broadcast(ray_session, tmp_path):
     """Zero-broadcast bucketed clean == broadcast clean, row for row
     (the paragraphs-bucketed parity pattern)."""
